@@ -1,0 +1,164 @@
+"""Command-line runner: the ``main``/``tasks`` equivalent.
+
+The reference's entry point takes no arguments — everything is compile-time
+(opencl/bmfr.cpp:558). Here the same workflow (load scene -> run 60-frame
+chain -> profile -> write PNGs) is a CLI with runtime flags:
+
+    python -m bmfr_tpu.cli --scene /data/classroom --output outputs/
+    python -m bmfr_tpu.cli --synthetic --frames 60 --width 1280 --height 720
+
+Prints the per-stage profiling report in the reference's
+mean/min/max/total format (opencl/bmfr.cpp:489-517).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from .config import BMFRConfig
+from .metrics import psnr
+
+
+def _build_argparser():
+    p = argparse.ArgumentParser(description="BMFR-TPU denoiser")
+    p.add_argument("--scene", help="scene directory (TUNI layout)")
+    p.add_argument("--synthetic", action="store_true",
+                   help="run on the built-in synthetic scene")
+    p.add_argument("--width", type=int, default=1280)
+    p.add_argument("--height", type=int, default=720)
+    p.add_argument("--frames", type=int, default=60)
+    p.add_argument("--output", default="outputs",
+                   help="output directory for PNGs")
+    p.add_argument("--no-output", action="store_true")
+    p.add_argument("--solver", default="householder",
+                   choices=["householder", "cholesky"])
+    p.add_argument("--fitter-impl", default="auto",
+                   choices=["auto", "xla", "pallas"])
+    p.add_argument("--tmp-dtype", default="float32",
+                   choices=["float32", "float16", "bfloat16"])
+    p.add_argument("--block-edge", type=int, default=32)
+    p.add_argument("--mode", default="frame", choices=["frame", "scan"],
+                   help="per-frame jitted steps or one lax.scan")
+    p.add_argument("--skip-fitting", action="store_true")
+    p.add_argument("--skip-second-accum", action="store_true")
+    p.add_argument("--skip-taa", action="store_true")
+    return p
+
+
+def load_inputs(args):
+    if args.scene:
+        from .io.dataset import SceneDescriptor
+
+        sd = SceneDescriptor(path=args.scene, frame_count=args.frames,
+                             width=args.width, height=args.height)
+        data = sd.load_frames()
+        limits = dict(
+            position_limit_squared=data["position_limit_squared"],
+            normal_limit_squared=data["normal_limit_squared"])
+    else:
+        from .io.fixtures import synthetic_sequence
+
+        data = synthetic_sequence(
+            width=args.width, height=args.height, frames=args.frames)
+        limits = dict(position_limit_squared=0.03, normal_limit_squared=0.5)
+    return data, limits
+
+
+def main(argv=None):
+    args = _build_argparser().parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from . import FrameInputs, TemporalState, make_denoise_frame
+    from .profiling import ProfilingInfo, print_report
+
+    print("Initialize.")
+    print(f"Using device: {jax.devices()[0]}")
+
+    print("Loading input data.")
+    t0 = time.perf_counter()
+    data, limits = load_inputs(args)
+    print(f"  loaded in {time.perf_counter() - t0:.2f}s")
+
+    cfg = BMFRConfig(
+        image_width=args.width, image_height=args.height,
+        solver=args.solver, fitter_impl=args.fitter_impl,
+        tmp_data_dtype=args.tmp_dtype, block_edge=args.block_edge,
+        skip_fitting=args.skip_fitting,
+        skip_second_accum=args.skip_second_accum,
+        skip_taa=args.skip_taa, **limits).validate()
+
+    T = data["noisy"].shape[0]
+    to_chw = lambda a: np.moveaxis(a, -1, 0).astype(np.float32)
+
+    print("Run and profile kernels.")
+    prof = ProfilingInfo("Full frame (all 5 stages)")
+    if args.mode == "scan":
+        from . import denoise_sequence
+
+        seq = FrameInputs(
+            normals=jnp.asarray(np.moveaxis(data["normals"], -1, 1)),
+            positions=jnp.asarray(np.moveaxis(data["positions"], -1, 1)),
+            noisy=jnp.asarray(np.moveaxis(data["noisy"], -1, 1)),
+            albedo=jnp.asarray(np.moveaxis(data["albedo"], -1, 1)),
+        )
+        cams = jnp.asarray(data["camera_matrices"])
+        offs = jnp.asarray(data["pixel_offsets"])
+        run = jax.jit(lambda s, c, o: denoise_sequence(cfg, s, c, o))
+        out = jax.block_until_ready(run(seq, cams, offs))  # compile+run
+        t1 = time.perf_counter()
+        out = jax.block_until_ready(run(seq, cams, offs))
+        prof.append((time.perf_counter() - t1) * 1e3 / T)
+        results = [np.asarray(out[t]) for t in range(T)]
+    else:
+        step = make_denoise_frame(cfg, donate=False)
+        state = TemporalState.initial(cfg)
+        results = []
+        for t in range(T):
+            inputs = FrameInputs(
+                normals=jnp.asarray(to_chw(data["normals"][t])),
+                positions=jnp.asarray(to_chw(data["positions"][t])),
+                noisy=jnp.asarray(to_chw(data["noisy"][t])),
+                albedo=jnp.asarray(to_chw(data["albedo"][t])),
+            )
+            prev_cam = jnp.asarray(data["camera_matrices"][max(t - 1, 0)])
+            off = jnp.asarray(data["pixel_offsets"][t])
+            jax.block_until_ready(inputs)
+            t1 = time.perf_counter()
+            state, result = step(state, inputs, prev_cam, off,
+                                 jnp.int32(t))
+            jax.block_until_ready(result)
+            if t > 0:  # frame 0 includes compilation
+                prof.append((time.perf_counter() - t1) * 1e3)
+            results.append(np.asarray(result))
+
+    print_report([prof])
+
+    if "clean" in data:
+        # compare in the output (tone-mapped) domain, like-for-like
+        vals = []
+        for t, r in enumerate(results):
+            clean_tone = np.clip(
+                np.power(np.maximum(0.0, data["clean"][t]), 0.454545), 0, 1)
+            vals.append(psnr(np.moveaxis(r, 0, -1), clean_tone))
+        print(f"PSNR vs clean reference (tone-mapped): mean "
+              f"{np.mean(vals):.2f} dB "
+              f"(first {vals[0]:.2f}, last {vals[-1]:.2f})")
+
+    if not args.no_output:
+        from .io.exr import write_png
+
+        os.makedirs(args.output, exist_ok=True)
+        for t, r in enumerate(results):
+            write_png(os.path.join(args.output, f"output{t}.png"),
+                      np.moveaxis(r, 0, -1))
+        print(f"Wrote {len(results)} PNGs to {args.output}/")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

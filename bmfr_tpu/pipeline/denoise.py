@@ -1,0 +1,130 @@
+"""The per-frame denoise step and the frame-sequence scan.
+
+This is the TPU equivalent of the reference's per-frame 5-kernel chain
+(opencl/bmfr.cpp:417-485): one pure jitted function
+``state, inputs -> state, outputs`` per frame, and a ``jax.lax.scan`` over a
+stacked 60-frame animation for throughput runs. The public per-frame API
+mirrors the real-use contract described at opencl/bmfr.cpp:415-416 (feature
+buffers + camera matrix in, denoised frame out).
+
+The reference's one-frame matrix lag — frame N is reprojected with
+``camera_matrices[N-1]`` but jittered with ``pixel_offsets[N]``
+(opencl/bmfr.cpp:440-444) — is reproduced in :func:`denoise_sequence`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.accumulate import accumulate_filtered_data
+from ..ops.blockify import build_feature_blocks
+from ..ops.fitter import fit_blocks
+from ..ops.reproject import accumulate_noisy_data
+from ..ops.taa import taa
+from ..ops.weighted_sum import weighted_sum
+from .state import TemporalState
+
+
+class FrameInputs(NamedTuple):
+    """One frame of path-tracer outputs (the four EXR buffers,
+    opencl/bmfr.cpp:49-52), channels-first f32[3, H, W] each."""
+
+    normals: jnp.ndarray
+    positions: jnp.ndarray
+    noisy: jnp.ndarray
+    albedo: jnp.ndarray
+
+
+def denoise_frame(cfg, state: TemporalState, inputs: FrameInputs,
+                  prev_cam, pixel_offset, frame):
+    """Run the full 5-stage chain for one frame.
+
+    Returns ``(new_state, outputs)`` where outputs is a dict holding the
+    final ``result`` plus the intermediates needed for testing/debugging.
+    """
+    k1 = accumulate_noisy_data(
+        cfg, inputs.normals, inputs.positions, inputs.noisy,
+        state.normals, state.positions, state.noisy, state.spp,
+        prev_cam, pixel_offset, frame)
+
+    tmp = build_feature_blocks(
+        cfg, inputs.normals, inputs.positions, k1["accum"], frame)
+    weights, mins_maxs = fit_blocks(cfg, tmp, frame)
+
+    filtered = weighted_sum(
+        cfg, weights, mins_maxs, inputs.normals, inputs.positions,
+        k1["accum"], frame)
+
+    out, tone = accumulate_filtered_data(
+        cfg, filtered, k1["prev_pixels"], k1["accept"], inputs.albedo,
+        k1["spp"], state.out, frame)
+
+    result = taa(cfg, k1["prev_pixels"], tone, state.result, frame)
+
+    new_state = TemporalState(
+        normals=inputs.normals,
+        positions=inputs.positions,
+        noisy=k1["accum"],
+        spp=k1["spp"],
+        out=out,
+        result=result,
+    )
+    outputs = dict(
+        result=result, tone=tone, out=out, filtered=filtered,
+        accum=k1["accum"], spp=k1["spp"], prev_pixels=k1["prev_pixels"],
+        accept=k1["accept"], weights=weights, mins_maxs=mins_maxs,
+    )
+    return new_state, outputs
+
+
+def make_denoise_frame(cfg, donate=True):
+    """A jit-compiled per-frame step with ``cfg`` closed over statically.
+
+    With ``donate=True`` the temporal state buffers are donated, so the
+    recurrence updates in place on device — the functional equivalent of the
+    reference's double-buffer swap (opencl/bmfr.cpp:482-484) with the same
+    memory footprint.
+    """
+
+    @functools.partial(
+        jax.jit, donate_argnums=(0,) if donate else ())
+    def step(state, inputs, prev_cam, pixel_offset, frame):
+        new_state, outputs = denoise_frame(
+            cfg, state, inputs, prev_cam, pixel_offset, frame)
+        return new_state, outputs["result"]
+
+    return step
+
+
+def denoise_sequence(cfg, inputs: FrameInputs, camera_matrices,
+                     pixel_offsets, lite_outputs=True):
+    """Denoise a stacked animation with ``lax.scan``.
+
+    inputs: FrameInputs with a leading time axis ``[T, 3, H, W]``;
+    camera_matrices ``f32[T, 4, 4]``; pixel_offsets ``f32[T, 2]``.
+    Returns the stacked TAA results ``f32[T, 3, H, W]`` (plus tone-mapped
+    frames when ``lite_outputs`` is False).
+    """
+    T = inputs.noisy.shape[0]
+    state = TemporalState.initial(cfg)
+
+    def body(state, t):
+        prev_cam = camera_matrices[jnp.maximum(t - 1, 0)]
+        frame_in = FrameInputs(
+            normals=inputs.normals[t],
+            positions=inputs.positions[t],
+            noisy=inputs.noisy[t],
+            albedo=inputs.albedo[t],
+        )
+        new_state, outputs = denoise_frame(
+            cfg, state, frame_in, prev_cam, pixel_offsets[t], t)
+        if lite_outputs:
+            return new_state, outputs["result"]
+        return new_state, (outputs["result"], outputs["tone"])
+
+    _, results = jax.lax.scan(body, state, jnp.arange(T, dtype=jnp.int32))
+    return results
