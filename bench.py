@@ -1,0 +1,91 @@
+"""Benchmark: full-resolution denoise throughput on the real TPU.
+
+Measures the steady-state per-frame time of the complete 5-stage chain at
+the reference workload shape — 1280x720, 1 spp, 60-frame animation
+(opencl/bmfr.cpp:39-42) — with all inputs device-resident, mirroring the
+reference's profiling scope ("in real use case there would not be
+WriteBuffer and ReadBuffer", opencl/bmfr.cpp:415-416; total = first kernel
+start to last kernel end, :497-502).
+
+Prints ONE JSON line:
+  {"metric": "denoise_ms_per_frame_1280x720", "value": <ms>, "unit": "ms",
+   "vs_baseline": <baseline_ms / ours_ms>}
+vs_baseline > 1.0 means faster than the 1.6 ms/frame reference target
+(BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import numpy as np
+
+BASELINE_MS = 1.6  # reference paper headline, BASELINE.md
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bmfr_tpu import (BMFRConfig, FrameInputs, TemporalState,
+                          denoise_sequence)
+    from bmfr_tpu.io.fixtures import synthetic_sequence
+
+    frames = int(os.environ.get("BENCH_FRAMES", "60"))
+    width = int(os.environ.get("BENCH_WIDTH", "1280"))
+    height = int(os.environ.get("BENCH_HEIGHT", "720"))
+
+    cfg = BMFRConfig(
+        image_width=width, image_height=height,
+        position_limit_squared=0.03, normal_limit_squared=0.5,
+    ).validate()
+
+    print(f"[bench] generating {frames}-frame {width}x{height} synthetic "
+          f"scene...", file=sys.stderr)
+    sc = synthetic_sequence(width=width, height=height, frames=frames)
+
+    to_tchw = lambda a: jnp.asarray(
+        np.moveaxis(a, -1, 1).astype(np.float32))
+    inputs = FrameInputs(
+        normals=to_tchw(sc["normals"]),
+        positions=to_tchw(sc["positions"]),
+        noisy=to_tchw(sc["noisy"]),
+        albedo=to_tchw(sc["albedo"]),
+    )
+    cams = jnp.asarray(sc["camera_matrices"])
+    offs = jnp.asarray(sc["pixel_offsets"])
+
+    run = jax.jit(lambda i, c, o: denoise_sequence(cfg, i, c, o))
+
+    print("[bench] compiling...", file=sys.stderr)
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(run(inputs, cams, offs))
+    print(f"[bench] compile+first run {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
+    assert bool(jnp.isfinite(out).all()), "non-finite bench output"
+
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(inputs, cams, offs))
+        times.append((time.perf_counter() - t0) / frames * 1e3)
+    ms = min(times)
+
+    print(f"[bench] per-frame times (ms): "
+          f"{[round(t, 3) for t in times]}", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"denoise_ms_per_frame_{width}x{height}",
+        "value": round(ms, 4),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_MS / ms, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -40,19 +40,18 @@ def _cv2():
 
 
 def read_exr(path: str) -> np.ndarray:
-    """Read an EXR into f32 HWC (RGB order)."""
+    """Read an EXR into f32 HWC (RGB order).
+
+    Backends: native C++ (preferred); pure-Python reader otherwise. (The
+    OpenCV build in this environment ships without OpenEXR support.)
+    """
     from . import native
 
     if native.available():
         return native.read_exr(path)
-    cv2 = _cv2()
-    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
-    if img is None:
-        raise IOError(f"can't open image file: {path}")
-    img = np.asarray(img, np.float32)
-    if img.ndim == 3 and img.shape[2] >= 3:
-        img = img[:, :, 2::-1]  # BGR -> RGB
-    return img
+    from .exr_py import read_exr_py
+
+    return read_exr_py(path)
 
 
 def read_image_file(file_name: str, frame: int, expect_shape=None):
@@ -86,7 +85,12 @@ def write_png(path: str, img_hwc: np.ndarray):
     cv2.imwrite(path, arr8[:, :, ::-1])  # RGB -> BGR
 
 
-def write_exr(path: str, img_hwc: np.ndarray):
-    """Write an f32 HWC EXR (used by tests and fixture export)."""
-    cv2 = _cv2()
-    cv2.imwrite(path, np.asarray(img_hwc, np.float32)[:, :, ::-1])
+def write_exr(path: str, img_hwc: np.ndarray, half: bool = False):
+    """Write an f32 HWC EXR (used by tests and fixture export). Requires
+    the native library (no Python EXR writer is shipped)."""
+    from . import native
+
+    if not native.available():
+        raise RuntimeError("EXR writing requires the native IO library "
+                           "(make -C native)")
+    native.write_exr(path, np.asarray(img_hwc, np.float32), half=half)

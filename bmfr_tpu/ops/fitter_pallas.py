@@ -1,0 +1,143 @@
+"""Pallas TPU kernel for the blockwise fit (stage K2).
+
+The XLA path (:mod:`bmfr_tpu.ops.fitter`) expresses the Householder QR as 10
+sequential batched reflections, each of which round-trips the whole
+``[n_blocks, 13, 1024]`` tensor through HBM (~1 GB of traffic per frame).
+This kernel keeps a *chunk* of blocks fully VMEM-resident and runs the
+entire scale -> noise -> QR -> back-substitution chain in one pass, so each
+block's 53 KB matrix is read from HBM exactly once and only the 120-byte
+weight/min-max results are written back.
+
+Grid: ``(n_blocks / CHUNK,)`` — one grid step fits CHUNK blocks. VMEM per
+step: CHUNK * 13 * 1024 * 4 B = 425 KB at CHUNK=8, well under the ~16 MB
+budget, leaving the pipeline room to double-buffer the input DMA.
+
+Semantics follow opencl/bmfr.cl:490-700 exactly like the XLA path (scale at
+:511-542, reflections at :549-656, the noise-once rule at :625-627, back
+substitution at :659-699); equivalence against the XLA path and the literal
+oracle is tested in ``tests/test_fitter_pallas.py``.
+
+Note: with reduced-precision storage (``tmp_data_dtype != float32``) the
+reference rounds between every reflection; this kernel computes the QR in
+f32 throughout (inputs are still read in the storage dtype). The difference
+is below the fidelity budget and is covered by the precision-sweep tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..rng import feature_noise
+
+DEFAULT_CHUNK = 8
+
+
+def _fitter_kernel(cfg, tmp_ref, noise_ref, w_ref, mm_ref):
+    F = cfg.feature_count
+    B = cfg.buffer_count
+    bp = cfg.block_pixels
+    lo = cfg.features_not_scaled_count
+    n_sc = cfg.features_scaled_count
+
+    data = tmp_ref[:].astype(jnp.float32)          # [C, B, bp]
+
+    # --- per-block min/max scaling (opencl/bmfr.cl:511-542) ---
+    sub = data[:, lo:F, :]
+    bmin = jnp.min(sub, axis=-1)                   # [C, n_sc]
+    bmax = jnp.max(sub, axis=-1)
+    mm_ref[:] = jnp.stack([bmin, bmax], axis=-1)
+    denom = jnp.where(jnp.abs(bmax - bmin) > 1.0, bmax - bmin, 1.0)
+    scaled = (sub - bmin[..., None]) / denom[..., None]
+    data = jnp.concatenate([data[:, :lo, :], scaled, data[:, F:, :]], axis=1)
+
+    # --- regularization noise on feature columns 1..F-1
+    #     (opencl/bmfr.cl:625-627; row 0 of noise_ref is zero) ---
+    noise = noise_ref[:]                           # [F, bp]
+    zeros = jnp.zeros((B - F, bp), jnp.float32)
+    data = data + jnp.concatenate([noise, zeros], axis=0)[None, :, :]
+
+    elem = jax.lax.broadcasted_iota(jnp.int32, (1, bp), 1)  # [1, bp]
+
+    # --- Householder QR, F unrolled reflection steps
+    #     (opencl/bmfr.cl:549-656) ---
+    for col in range(F):
+        v = data[:, col, :]                        # [C, bp]
+        tail = jnp.where(elem > col, v, 0.0)
+        sigma = jnp.sum(tail * tail, axis=-1)      # [C]
+        pivot = v[:, col]
+        vec_len = jnp.sqrt(sigma + pivot * pivot)
+        head = pivot - vec_len
+        u_len_sq = sigma + head * head
+        u = jnp.where(elem == col, head[:, None], tail)  # [C, bp]
+
+        rest = data[:, col + 1:, :]                # [C, B-col-1, bp]
+        dots = jnp.sum(rest * u[:, None, :], axis=-1)    # [C, B-col-1]
+        coef = (2.0 / u_len_sq)[:, None, None]
+        rest = rest - coef * dots[:, :, None] * u[:, None, :]
+
+        new_col = jnp.where(elem < col, v, 0.0)
+        new_col = jnp.where(elem == col, vec_len[:, None], new_col)
+        data = jnp.concatenate(
+            [data[:, :col, :], new_col[:, None, :], rest], axis=1)
+
+    # --- back substitution on the packed R (opencl/bmfr.cl:659-699).
+    # R[row e, col f] = data[:, f, e]; rhs channels are the color columns.
+    # Solve R x = rhs by static unrolled back-substitution.
+    xs = [None] * F                                # each [C, 3]
+    for i in range(F - 1, -1, -1):
+        acc = jnp.stack(
+            [data[:, F + c, i] for c in range(B - F)], axis=-1)  # rhs[i]
+        for j in range(i + 1, F):
+            rij = data[:, j, i][:, None]           # R[i, j]
+            acc = acc - rij * xs[j]
+        rii = data[:, i, i][:, None]
+        xs[i] = acc / rii
+    w_ref[:] = jnp.stack(xs, axis=1)               # [C, F, 3]
+
+
+def fit_blocks_pallas(cfg, tmp_blocks, frame, chunk=DEFAULT_CHUNK):
+    """Drop-in replacement for the XLA ``fit_blocks`` (same signature/outputs)."""
+    nb = cfg.n_blocks
+    B = cfg.buffer_count
+    F = cfg.feature_count
+    bp = cfg.block_pixels
+    n_sc = cfg.features_scaled_count
+
+    noise = feature_noise(frame, F, bp, cfg.buffer_count, cfg.noise_amount)
+
+    nb_pad = ((nb + chunk - 1) // chunk) * chunk
+    if nb_pad != nb:
+        pad = jnp.ones((nb_pad - nb, B, bp), tmp_blocks.dtype)
+        tmp_blocks = jnp.concatenate([tmp_blocks, pad], axis=0)
+
+    grid = (nb_pad // chunk,)
+    kernel = functools.partial(_fitter_kernel, cfg)
+
+    weights, mins_maxs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((chunk, B, bp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, bp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((chunk, F, 3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, n_sc, 2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb_pad, F, 3), jnp.float32),
+            jax.ShapeDtypeStruct((nb_pad, n_sc, 2), jnp.float32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(tmp_blocks, noise)
+
+    return weights[:nb], mins_maxs[:nb]

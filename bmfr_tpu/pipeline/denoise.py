@@ -101,7 +101,7 @@ def make_denoise_frame(cfg, donate=True):
 
 
 def denoise_sequence(cfg, inputs: FrameInputs, camera_matrices,
-                     pixel_offsets, lite_outputs=True):
+                     pixel_offsets, lite_outputs=True, initial_state=None):
     """Denoise a stacked animation with ``lax.scan``.
 
     inputs: FrameInputs with a leading time axis ``[T, 3, H, W]``;
@@ -110,7 +110,16 @@ def denoise_sequence(cfg, inputs: FrameInputs, camera_matrices,
     frames when ``lite_outputs`` is False).
     """
     T = inputs.noisy.shape[0]
-    state = TemporalState.initial(cfg)
+    if initial_state is None:
+        # Derive from the inputs (not fresh constants) so device-varying
+        # axes propagate correctly under shard_map (see parallel/sharding).
+        z3 = jnp.zeros_like(inputs.noisy[0])
+        state = TemporalState(
+            normals=z3, positions=z3, noisy=z3,
+            spp=jnp.zeros_like(inputs.noisy[0, 0], dtype=jnp.uint8),
+            out=z3, result=z3)
+    else:
+        state = initial_state
 
     def body(state, t):
         prev_cam = camera_matrices[jnp.maximum(t - 1, 0)]

@@ -1,0 +1,683 @@
+// bmfr_io — native IO runtime for bmfr_tpu.
+//
+// The reference's host runtime is C++ (OpenImageIO EXR/PNG IO, OpenMP
+// parallel frame loading — opencl/bmfr.cpp:145-172, :252-313, :519-553).
+// This library provides the TPU build's equivalent without external image
+// deps: a scanline EXR reader/writer (NONE/ZIPS/ZIP compression, HALF and
+// FLOAT channels), a zlib-based PNG writer, and a pthread-parallel batch
+// loader. Exposed via a C ABI consumed through ctypes
+// (bmfr_tpu/io/native.py).
+//
+// Build: make -C native  (g++ -O2 -shared -fPIC, links zlib + pthread)
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+#include <map>
+#include <thread>
+#include <atomic>
+#include <mutex>
+
+#include <zlib.h>
+
+namespace {
+
+thread_local std::string g_last_error;
+
+void set_error(const std::string &msg) { g_last_error = msg; }
+
+// ---------------------------------------------------------------------
+// half <-> float
+// ---------------------------------------------------------------------
+float half_to_float(uint16_t h) {
+  uint32_t sign = (uint32_t)(h >> 15) << 31;
+  uint32_t exp = (h >> 10) & 0x1F;
+  uint32_t mant = h & 0x3FF;
+  uint32_t bits;
+  if (exp == 0) {
+    if (mant == 0) {
+      bits = sign;
+    } else {
+      // subnormal half -> normalized float
+      int e = -1;
+      do {
+        e++;
+        mant <<= 1;
+      } while ((mant & 0x400) == 0);
+      mant &= 0x3FF;
+      bits = sign | ((127 - 15 - e) << 23) | (mant << 13);
+    }
+  } else if (exp == 31) {
+    bits = sign | 0x7F800000u | (mant << 13);
+  } else {
+    bits = sign | ((exp - 15 + 127) << 23) | (mant << 13);
+  }
+  float f;
+  std::memcpy(&f, &bits, 4);
+  return f;
+}
+
+uint16_t float_to_half(float f) {
+  uint32_t bits;
+  std::memcpy(&bits, &f, 4);
+  uint32_t sign = (bits >> 16) & 0x8000;
+  int32_t exp = (int32_t)((bits >> 23) & 0xFF) - 127 + 15;
+  uint32_t mant = bits & 0x7FFFFF;
+  if (exp <= 0) {
+    if (exp < -10) return (uint16_t)sign;
+    mant |= 0x800000;
+    uint32_t shift = 14 - exp;
+    uint16_t val = (uint16_t)(mant >> shift);
+    // round to nearest
+    if ((mant >> (shift - 1)) & 1) val++;
+    return (uint16_t)(sign | val);
+  }
+  if (exp >= 31) return (uint16_t)(sign | 0x7C00);  // inf/overflow
+  uint16_t val = (uint16_t)(sign | (exp << 10) | (mant >> 13));
+  if (mant & 0x1000) val++;  // round
+  return val;
+}
+
+// ---------------------------------------------------------------------
+// EXR structures
+// ---------------------------------------------------------------------
+struct ExrChannel {
+  std::string name;
+  int32_t pixel_type;  // 0=UINT 1=HALF 2=FLOAT
+};
+
+struct ExrHeader {
+  std::vector<ExrChannel> channels;  // alphabetical (file order)
+  uint8_t compression = 0;           // 0=NONE 2=ZIPS 3=ZIP
+  int32_t xmin = 0, ymin = 0, xmax = 0, ymax = 0;
+  int width() const { return xmax - xmin + 1; }
+  int height() const { return ymax - ymin + 1; }
+};
+
+struct Reader {
+  const uint8_t *p, *end;
+  bool fail = false;
+  explicit Reader(const std::vector<uint8_t> &buf)
+      : p(buf.data()), end(buf.data() + buf.size()) {}
+  bool need(size_t n) {
+    if ((size_t)(end - p) < n) {
+      fail = true;
+      return false;
+    }
+    return true;
+  }
+  uint32_t u32() {
+    if (!need(4)) return 0;
+    uint32_t v;
+    std::memcpy(&v, p, 4);
+    p += 4;
+    return v;
+  }
+  uint64_t u64() {
+    if (!need(8)) return 0;
+    uint64_t v;
+    std::memcpy(&v, p, 8);
+    p += 8;
+    return v;
+  }
+  uint8_t u8() {
+    if (!need(1)) return 0;
+    return *p++;
+  }
+  std::string cstr(size_t maxlen = 256) {
+    std::string s;
+    while (p < end && *p && s.size() < maxlen) s.push_back((char)*p++);
+    if (p < end && *p == 0) p++;
+    else fail = true;
+    return s;
+  }
+  void skip(size_t n) {
+    if (need(n)) p += n;
+  }
+};
+
+bool read_file(const char *path, std::vector<uint8_t> &out) {
+  FILE *f = std::fopen(path, "rb");
+  if (!f) {
+    set_error(std::string("cannot open ") + path);
+    return false;
+  }
+  std::fseek(f, 0, SEEK_END);
+  long n = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  out.resize((size_t)n);
+  size_t got = std::fread(out.data(), 1, (size_t)n, f);
+  std::fclose(f);
+  if (got != (size_t)n) {
+    set_error(std::string("short read on ") + path);
+    return false;
+  }
+  return true;
+}
+
+bool parse_exr_header(Reader &r, ExrHeader &h) {
+  if (r.u32() != 20000630u) {
+    set_error("not an EXR file (bad magic)");
+    return false;
+  }
+  uint32_t version = r.u32();
+  if ((version & 0xFF) != 2) {
+    set_error("unsupported EXR version");
+    return false;
+  }
+  if (version & 0x200) {
+    set_error("tiled EXR not supported");
+    return false;
+  }
+  while (true) {
+    std::string name = r.cstr();
+    if (r.fail) {
+      set_error("corrupt EXR header");
+      return false;
+    }
+    if (name.empty()) break;  // end of header
+    std::string type = r.cstr();
+    uint32_t size = r.u32();
+    const uint8_t *attr_start = r.p;
+    if (name == "channels" && type == "chlist") {
+      while (true) {
+        std::string cn = r.cstr();
+        if (cn.empty()) break;
+        ExrChannel c;
+        c.name = cn;
+        c.pixel_type = (int32_t)r.u32();
+        r.skip(4);   // pLinear + reserved
+        r.skip(8);   // x/y sampling
+        h.channels.push_back(c);
+      }
+    } else if (name == "compression" && type == "compression") {
+      h.compression = r.u8();
+    } else if (name == "dataWindow" && type == "box2i") {
+      h.xmin = (int32_t)r.u32();
+      h.ymin = (int32_t)r.u32();
+      h.xmax = (int32_t)r.u32();
+      h.ymax = (int32_t)r.u32();
+    } else {
+      r.skip(size);
+      continue;
+    }
+    // realign in case the typed parse didn't consume exactly `size`
+    r.p = attr_start;
+    r.skip(size);
+    if (r.fail) {
+      set_error("corrupt EXR attribute " + name);
+      return false;
+    }
+  }
+  if (h.channels.empty()) {
+    set_error("EXR has no channels");
+    return false;
+  }
+  return true;
+}
+
+// EXR zip post-inflate reconstruction: un-predictor then de-interleave.
+void exr_unfilter(std::vector<uint8_t> &buf) {
+  // predictor
+  for (size_t i = 1; i < buf.size(); ++i)
+    buf[i] = (uint8_t)((int)buf[i - 1] + (int)buf[i] - 128);
+  // deinterleave
+  std::vector<uint8_t> out(buf.size());
+  const size_t half = (buf.size() + 1) / 2;
+  const uint8_t *t1 = buf.data();
+  const uint8_t *t2 = buf.data() + half;
+  for (size_t i = 0; i < buf.size(); ++i)
+    out[i] = (i & 1) ? *t2++ : *t1++;
+  buf.swap(out);
+}
+
+void exr_filter(std::vector<uint8_t> &buf) {  // inverse, for writing
+  std::vector<uint8_t> tmp(buf.size());
+  const size_t half = (buf.size() + 1) / 2;
+  uint8_t *t1 = tmp.data();
+  uint8_t *t2 = tmp.data() + half;
+  for (size_t i = 0; i < buf.size(); ++i)
+    if (i & 1) *t2++ = buf[i];
+    else *t1++ = buf[i];
+  // predictor
+  uint8_t prev = tmp.empty() ? 0 : tmp[0];
+  for (size_t i = 1; i < tmp.size(); ++i) {
+    uint8_t cur = tmp[i];
+    tmp[i] = (uint8_t)((int)cur - (int)prev + 128);
+    prev = cur;
+  }
+  buf.swap(tmp);
+}
+
+bool zlib_inflate(const uint8_t *src, size_t n, std::vector<uint8_t> &dst) {
+  uLongf dlen = (uLongf)dst.size();
+  int rc = uncompress(dst.data(), &dlen, src, (uLong)n);
+  if (rc != Z_OK || dlen != dst.size()) {
+    set_error("zlib inflate failed");
+    return false;
+  }
+  return true;
+}
+
+int lines_per_block(uint8_t compression) {
+  switch (compression) {
+    case 0: return 1;   // NONE
+    case 1: return 1;   // RLE (unsupported below)
+    case 2: return 1;   // ZIPS
+    case 3: return 16;  // ZIP
+    default: return -1;
+  }
+}
+
+// Decode one EXR file into interleaved RGB float32 (out[h][w][c]).
+// Channel mapping: R,G,B -> 0,1,2; single/other channel sets are mapped in
+// file order.
+bool decode_exr(const char *path, float *out, int exp_w, int exp_h,
+                int exp_c) {
+  std::vector<uint8_t> buf;
+  if (!read_file(path, buf)) return false;
+  Reader r(buf);
+  ExrHeader h;
+  if (!parse_exr_header(r, h)) return false;
+  const int W = h.width(), H = h.height();
+  if (W != exp_w || H != exp_h) {
+    set_error("unexpected EXR size");
+    return false;
+  }
+  const int lpb = lines_per_block(h.compression);
+  if (lpb < 0 || h.compression == 1) {
+    set_error("unsupported EXR compression " +
+              std::to_string((int)h.compression));
+    return false;
+  }
+  const int nch = (int)h.channels.size();
+
+  // channel -> output index
+  std::vector<int> chan_out(nch);
+  for (int c = 0; c < nch; ++c) {
+    const std::string &n = h.channels[c].name;
+    int idx;
+    if (n == "R" || n == "r") idx = 0;
+    else if (n == "G" || n == "g") idx = 1;
+    else if (n == "B" || n == "b") idx = 2;
+    else idx = c;  // file order for non-RGB layouts
+    chan_out[c] = idx < exp_c ? idx : -1;
+  }
+
+  // bytes per pixel per channel
+  std::vector<int> chan_bytes(nch);
+  size_t line_bytes = 0;
+  for (int c = 0; c < nch; ++c) {
+    chan_bytes[c] = h.channels[c].pixel_type == 1 ? 2 : 4;
+    if (h.channels[c].pixel_type == 0) {
+      set_error("UINT EXR channels not supported");
+      return false;
+    }
+    line_bytes += (size_t)chan_bytes[c] * W;
+  }
+
+  const int nblocks = (H + lpb - 1) / lpb;
+  // line offset table
+  std::vector<uint64_t> offsets(nblocks);
+  for (int b = 0; b < nblocks; ++b) offsets[b] = r.u64();
+  if (r.fail) {
+    set_error("corrupt EXR offset table");
+    return false;
+  }
+
+  std::vector<uint8_t> raw;
+  for (int b = 0; b < nblocks; ++b) {
+    const uint8_t *cp = buf.data() + offsets[b];
+    if (offsets[b] + 8 > buf.size()) {
+      set_error("corrupt EXR chunk offset");
+      return false;
+    }
+    int32_t y0;
+    uint32_t packed;
+    std::memcpy(&y0, cp, 4);
+    std::memcpy(&packed, cp + 4, 4);
+    cp += 8;
+    if ((size_t)(cp - buf.data()) + packed > buf.size()) {
+      set_error("corrupt EXR chunk size");
+      return false;
+    }
+    const int ylo = y0 - h.ymin;
+    const int nlines = std::min(lpb, H - ylo);
+    const size_t unpacked = line_bytes * (size_t)nlines;
+
+    const uint8_t *data_ptr;
+    if (h.compression == 0 || packed >= unpacked) {
+      data_ptr = cp;  // stored raw
+    } else {
+      raw.assign(unpacked, 0);
+      if (!zlib_inflate(cp, packed, raw)) return false;
+      exr_unfilter(raw);
+      data_ptr = raw.data();
+    }
+
+    // scanlines: per line, per channel (file order), W values
+    const uint8_t *sp = data_ptr;
+    for (int l = 0; l < nlines; ++l) {
+      const int y = ylo + l;
+      for (int c = 0; c < nch; ++c) {
+        const int oc = chan_out[c];
+        if (h.channels[c].pixel_type == 1) {
+          const uint16_t *hp = (const uint16_t *)sp;
+          if (oc >= 0)
+            for (int x = 0; x < W; ++x)
+              out[((size_t)y * W + x) * exp_c + oc] = half_to_float(hp[x]);
+          sp += 2 * (size_t)W;
+        } else {
+          const float *fp = (const float *)sp;
+          if (oc >= 0)
+            for (int x = 0; x < W; ++x)
+              out[((size_t)y * W + x) * exp_c + oc] = fp[x];
+          sp += 4 * (size_t)W;
+        }
+      }
+    }
+  }
+  return true;
+}
+
+// ---------------------------------------------------------------------
+// PNG writer (zlib only, no libpng)
+// ---------------------------------------------------------------------
+void put_u32_be(std::vector<uint8_t> &v, uint32_t x) {
+  v.push_back((uint8_t)(x >> 24));
+  v.push_back((uint8_t)(x >> 16));
+  v.push_back((uint8_t)(x >> 8));
+  v.push_back((uint8_t)x);
+}
+
+void png_chunk(std::vector<uint8_t> &out, const char *tag,
+               const std::vector<uint8_t> &data) {
+  put_u32_be(out, (uint32_t)data.size());
+  size_t crc_start = out.size();
+  out.insert(out.end(), tag, tag + 4);
+  out.insert(out.end(), data.begin(), data.end());
+  uint32_t crc = crc32(0, out.data() + crc_start, (uInt)(out.size() - crc_start));
+  put_u32_be(out, crc);
+}
+
+bool write_png_impl(const char *path, const uint8_t *img, int w, int h,
+                    int c) {
+  if (c != 3 && c != 1 && c != 4) {
+    set_error("png: channels must be 1, 3 or 4");
+    return false;
+  }
+  std::vector<uint8_t> out;
+  const uint8_t sig[8] = {0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A};
+  out.insert(out.end(), sig, sig + 8);
+
+  std::vector<uint8_t> ihdr;
+  put_u32_be(ihdr, (uint32_t)w);
+  put_u32_be(ihdr, (uint32_t)h);
+  ihdr.push_back(8);  // bit depth
+  ihdr.push_back(c == 1 ? 0 : (c == 3 ? 2 : 6));  // color type
+  ihdr.push_back(0);
+  ihdr.push_back(0);
+  ihdr.push_back(0);
+  png_chunk(out, "IHDR", ihdr);
+
+  // filter byte 0 per row
+  std::vector<uint8_t> rawbuf((size_t)h * ((size_t)w * c + 1));
+  for (int y = 0; y < h; ++y) {
+    uint8_t *row = rawbuf.data() + (size_t)y * ((size_t)w * c + 1);
+    row[0] = 0;
+    std::memcpy(row + 1, img + (size_t)y * w * c, (size_t)w * c);
+  }
+  uLongf zlen = compressBound((uLong)rawbuf.size());
+  std::vector<uint8_t> zbuf(zlen);
+  if (compress2(zbuf.data(), &zlen, rawbuf.data(), (uLong)rawbuf.size(), 6) !=
+      Z_OK) {
+    set_error("png: zlib compress failed");
+    return false;
+  }
+  zbuf.resize(zlen);
+  png_chunk(out, "IDAT", zbuf);
+  png_chunk(out, "IEND", {});
+
+  FILE *f = std::fopen(path, "wb");
+  if (!f) {
+    set_error(std::string("cannot create ") + path);
+    return false;
+  }
+  size_t wrote = std::fwrite(out.data(), 1, out.size(), f);
+  std::fclose(f);
+  if (wrote != out.size()) {
+    set_error("png: short write");
+    return false;
+  }
+  return true;
+}
+
+// ---------------------------------------------------------------------
+// EXR writer (scanline, ZIP, float or half, RGB)
+// ---------------------------------------------------------------------
+void wr_str(std::vector<uint8_t> &v, const char *s) {
+  v.insert(v.end(), s, s + std::strlen(s) + 1);
+}
+
+void wr_u32(std::vector<uint8_t> &v, uint32_t x) {
+  const uint8_t *p = (const uint8_t *)&x;
+  v.insert(v.end(), p, p + 4);
+}
+
+void wr_u64(std::vector<uint8_t> &v, uint64_t x) {
+  const uint8_t *p = (const uint8_t *)&x;
+  v.insert(v.end(), p, p + 8);
+}
+
+void wr_f32(std::vector<uint8_t> &v, float x) {
+  const uint8_t *p = (const uint8_t *)&x;
+  v.insert(v.end(), p, p + 4);
+}
+
+bool write_exr_impl(const char *path, const float *img, int w, int h, int c,
+                    bool half) {
+  if (c != 3) {
+    set_error("exr writer: only 3 channels supported");
+    return false;
+  }
+  std::vector<uint8_t> out;
+  wr_u32(out, 20000630u);
+  wr_u32(out, 2u);
+
+  auto attr = [&](const char *name, const char *type,
+                  const std::vector<uint8_t> &data) {
+    wr_str(out, name);
+    wr_str(out, type);
+    wr_u32(out, (uint32_t)data.size());
+    out.insert(out.end(), data.begin(), data.end());
+  };
+
+  // channels (alphabetical: B, G, R)
+  std::vector<uint8_t> chl;
+  const char *names[3] = {"B", "G", "R"};
+  for (int i = 0; i < 3; ++i) {
+    wr_str(chl, names[i]);
+    wr_u32(chl, half ? 1u : 2u);
+    chl.push_back(0);  // pLinear
+    chl.push_back(0);
+    chl.push_back(0);
+    chl.push_back(0);
+    wr_u32(chl, 1);  // xSampling
+    wr_u32(chl, 1);  // ySampling
+  }
+  chl.push_back(0);
+  attr("channels", "chlist", chl);
+
+  std::vector<uint8_t> comp = {3};  // ZIP
+  attr("compression", "compression", comp);
+
+  std::vector<uint8_t> dw;
+  wr_u32(dw, 0);
+  wr_u32(dw, 0);
+  wr_u32(dw, (uint32_t)(w - 1));
+  wr_u32(dw, (uint32_t)(h - 1));
+  attr("dataWindow", "box2i", dw);
+  attr("displayWindow", "box2i", dw);
+
+  std::vector<uint8_t> lo = {0};  // INCREASING_Y
+  attr("lineOrder", "lineOrder", lo);
+
+  std::vector<uint8_t> par;
+  wr_f32(par, 1.0f);
+  attr("pixelAspectRatio", "float", par);
+
+  std::vector<uint8_t> swc;
+  wr_f32(swc, 0.0f);
+  wr_f32(swc, 0.0f);
+  attr("screenWindowCenter", "v2f", swc);
+
+  std::vector<uint8_t> sww;
+  wr_f32(sww, 1.0f);
+  attr("screenWindowWidth", "float", sww);
+
+  out.push_back(0);  // end of header
+
+  const int lpb = 16;
+  const int nblocks = (h + lpb - 1) / lpb;
+  const size_t px_bytes = half ? 2 : 4;
+  const size_t line_bytes = px_bytes * (size_t)w * 3;
+
+  size_t table_pos = out.size();
+  out.resize(out.size() + 8 * (size_t)nblocks);
+
+  std::vector<uint64_t> offsets(nblocks);
+  std::vector<uint8_t> rawbuf, zbuf;
+  // file channel order B,G,R -> source channel 2,1,0
+  const int src_chan[3] = {2, 1, 0};
+  for (int b = 0; b < nblocks; ++b) {
+    offsets[b] = out.size();
+    const int ylo = b * lpb;
+    const int nlines = std::min(lpb, h - ylo);
+    rawbuf.resize(line_bytes * (size_t)nlines);
+    uint8_t *rp = rawbuf.data();
+    for (int l = 0; l < nlines; ++l) {
+      const int y = ylo + l;
+      for (int fc = 0; fc < 3; ++fc) {
+        const int sc = src_chan[fc];
+        if (half) {
+          uint16_t *hp = (uint16_t *)rp;
+          for (int x = 0; x < w; ++x)
+            hp[x] = float_to_half(img[((size_t)y * w + x) * 3 + sc]);
+        } else {
+          float *fp = (float *)rp;
+          for (int x = 0; x < w; ++x)
+            fp[x] = img[((size_t)y * w + x) * 3 + sc];
+        }
+        rp += px_bytes * (size_t)w;
+      }
+    }
+    exr_filter(rawbuf);
+    uLongf zlen = compressBound((uLong)rawbuf.size());
+    zbuf.resize(zlen);
+    if (compress2(zbuf.data(), &zlen, rawbuf.data(), (uLong)rawbuf.size(),
+                  6) != Z_OK) {
+      set_error("exr: zlib compress failed");
+      return false;
+    }
+    wr_u32(out, (uint32_t)ylo);
+    if (zlen < rawbuf.size()) {
+      wr_u32(out, (uint32_t)zlen);
+      out.insert(out.end(), zbuf.begin(), zbuf.begin() + zlen);
+    } else {
+      // un-filter back: store raw when compression doesn't help
+      exr_unfilter(rawbuf);
+      wr_u32(out, (uint32_t)rawbuf.size());
+      out.insert(out.end(), rawbuf.begin(), rawbuf.end());
+    }
+  }
+  std::memcpy(out.data() + table_pos, offsets.data(), 8 * (size_t)nblocks);
+
+  FILE *f = std::fopen(path, "wb");
+  if (!f) {
+    set_error(std::string("cannot create ") + path);
+    return false;
+  }
+  size_t wrote = std::fwrite(out.data(), 1, out.size(), f);
+  std::fclose(f);
+  if (wrote != out.size()) {
+    set_error("exr: short write");
+    return false;
+  }
+  return true;
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------
+extern "C" {
+
+const char *bmfr_last_error() { return g_last_error.c_str(); }
+
+int bmfr_exr_read_header(const char *path, int *w, int *h, int *c) {
+  std::vector<uint8_t> buf;
+  if (!read_file(path, buf)) return 1;
+  Reader r(buf);
+  ExrHeader hd;
+  if (!parse_exr_header(r, hd)) return 1;
+  *w = hd.width();
+  *h = hd.height();
+  *c = (int)hd.channels.size();
+  return 0;
+}
+
+int bmfr_exr_read(const char *path, float *out, int w, int h, int c) {
+  std::memset(out, 0, (size_t)w * h * c * sizeof(float));
+  return decode_exr(path, out, w, h, c) ? 0 : 1;
+}
+
+int bmfr_exr_write(const char *path, const float *img, int w, int h, int c,
+                   int half) {
+  return write_exr_impl(path, img, w, h, c, half != 0) ? 0 : 1;
+}
+
+int bmfr_png_write(const char *path, const uint8_t *img, int w, int h,
+                   int c) {
+  return write_png_impl(path, img, w, h, c) ? 0 : 1;
+}
+
+// Threaded batch loader: the OpenMP-parallel-for equivalent
+// (opencl/bmfr.cpp:259-307). Returns 0 if every file decoded.
+int bmfr_load_frames(const char **paths, int n, float *out, int w, int h,
+                     int c, int threads) {
+  if (threads <= 0) threads = (int)std::thread::hardware_concurrency();
+  if (threads > n) threads = n > 0 ? n : 1;
+  std::atomic<int> next(0);
+  std::atomic<int> errors(0);
+  static std::mutex err_mu;
+  static std::string first_error;
+  first_error.clear();
+  const size_t frame_elems = (size_t)w * h * c;
+
+  auto worker = [&]() {
+    while (true) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      if (!decode_exr(paths[i], out + frame_elems * (size_t)i, w, h, c)) {
+        errors.fetch_add(1);
+        std::lock_guard<std::mutex> g(err_mu);
+        if (first_error.empty())
+          first_error = std::string(paths[i]) + ": " + g_last_error;
+      }
+    }
+  };
+  std::vector<std::thread> ts;
+  for (int t = 0; t < threads; ++t) ts.emplace_back(worker);
+  for (auto &t : ts) t.join();
+  if (errors.load() > 0) {
+    set_error(first_error);
+    return 1;
+  }
+  return 0;
+}
+
+}  // extern "C"

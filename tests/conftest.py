@@ -1,13 +1,21 @@
 """Test env: force CPU with 8 virtual devices (multi-chip sharding tests run
-on a virtual mesh; the real TPU is only used by bench.py)."""
+on a virtual mesh; the real TPU is only used by bench.py).
+
+NOTE: in this container the axon TPU plugin ignores the JAX_PLATFORMS
+environment variable — only ``jax.config.update`` before backend
+initialization works, hence the import-time dance below.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
