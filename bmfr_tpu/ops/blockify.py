@@ -29,20 +29,41 @@ _MIN_OFF = -16
 _MAX_OFF = 14
 
 
+def _scaled_offsets(block_edge):
+    """The jitter table, scaled for non-default block sizes.
+
+    The reference supports only 32x32 blocks (opencl/bmfr.cpp:103); its
+    +-16 offset table exactly fits the one-block margin. For the block-size
+    sweep (BASELINE config 4) we scale the offsets proportionally so the
+    jitter keeps covering the block extent without escaping the margin.
+    """
+    if block_edge == 32:
+        return BLOCK_OFFSETS
+    return (BLOCK_OFFSETS * block_edge) // 32
+
+
+def _min_max_off(block_edge):
+    if block_edge == 32:
+        return _MIN_OFF, _MAX_OFF
+    o = _scaled_offsets(block_edge)
+    return int(o.min()), int(o.max())
+
+
 def _pads(cfg):
     """Exact symmetric pad widths so every jittered margins-grid coordinate
     lands inside the padded plane."""
     half = cfg.block_edge // 2
-    pad_lo = half - _MIN_OFF  # 32 at defaults
-    pad_hi_x = cfg.workset_with_margins_width - cfg.image_width - half + _MAX_OFF
-    pad_hi_y = cfg.workset_with_margins_height - cfg.image_height - half + _MAX_OFF
+    min_off, max_off = _min_max_off(cfg.block_edge)
+    pad_lo = half - min_off  # 32 at defaults
+    pad_hi_x = cfg.workset_with_margins_width - cfg.image_width - half + max_off
+    pad_hi_y = cfg.workset_with_margins_height - cfg.image_height - half + max_off
     return pad_lo, max(pad_hi_x, 0), max(pad_hi_y, 0)
 
 
-def jitter_offset(frame):
+def jitter_offset(frame, block_edge=32):
     """Block jitter (ox, oy) for a traced frame number
     (opencl/bmfr.cl:315)."""
-    table = jnp.asarray(BLOCK_OFFSETS)
+    table = jnp.asarray(_scaled_offsets(block_edge))
     return table[jnp.mod(frame, table.shape[0])]
 
 
@@ -63,7 +84,7 @@ def blockify_planes(cfg, planes, frame):
         planes, ((0, 0), (pad_lo, pad_hi_y), (pad_lo, pad_hi_x)),
         mode="symmetric")
 
-    off = jitter_offset(frame)
+    off = jitter_offset(frame, cfg.block_edge)
     start_x = pad_lo - half + off[0]
     start_y = pad_lo - half + off[1]
     view = lax.dynamic_slice(
@@ -87,7 +108,7 @@ def unblockify_planes(cfg, blocks, frame, C):
     mw, mh = cfg.workset_with_margins_width, cfg.workset_with_margins_height
     view = blocks.reshape(cfg.blocks_y, cfg.blocks_x, C, be, be)
     view = view.transpose(2, 0, 3, 1, 4).reshape(C, mh, mw)
-    off = jitter_offset(frame)
+    off = jitter_offset(frame, cfg.block_edge)
     start_x = half - off[0]
     start_y = half - off[1]
     return lax.dynamic_slice(
