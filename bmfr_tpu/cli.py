@@ -40,6 +40,8 @@ def _build_argparser():
                    choices=["auto", "xla", "pallas"])
     p.add_argument("--tmp-dtype", default="float32",
                    choices=["float32", "float16", "bfloat16"])
+    p.add_argument("--warp-mode", default="float32",
+                   choices=["float32", "packed_bf16", "packed_x_bf16"])
     p.add_argument("--block-edge", type=int, default=32)
     p.add_argument("--mode", default="frame", choices=["frame", "scan"],
                    help="per-frame jitted steps or one lax.scan")
@@ -88,6 +90,7 @@ def main(argv=None):
         image_width=args.width, image_height=args.height,
         solver=args.solver, fitter_impl=args.fitter_impl,
         tmp_data_dtype=args.tmp_dtype, block_edge=args.block_edge,
+        warp_mode=args.warp_mode,
         skip_fitting=args.skip_fitting,
         skip_second_accum=args.skip_second_accum,
         skip_taa=args.skip_taa, **limits).validate()

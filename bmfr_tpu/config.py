@@ -95,6 +95,13 @@ class BMFRConfig:
     #: Fitter backend: "xla" (pure jnp), "pallas" (fused TPU kernel), or
     #: "auto" (pallas on TPU, xla elsewhere).
     fitter_impl: str = "auto"
+    #: Gather strategy for the temporal reprojection taps (K1/K4/K5):
+    #: "float32" = exact, one gather per tap (4 gather ops);
+    #: "packed_bf16" = two bf16 channels per 32-bit lane;
+    #: "packed_x_bf16" = each gather fetches a horizontal bf16 tap pair —
+    #: 2 gather ops total, the measured optimum on TPU (~0.4% relative
+    #: rounding on gathered history, far below the fidelity budget).
+    warp_mode: str = "float32"
 
     # --- stage-bypass debug flags ---
     # The reference documents debugging by bisecting the 5-stage chain with
@@ -180,6 +187,9 @@ class BMFRConfig:
             raise ValueError(f"bad solver: {self.solver}")
         if self.fitter_impl not in ("auto", "xla", "pallas"):
             raise ValueError(f"bad fitter_impl: {self.fitter_impl}")
+        if self.warp_mode not in ("float32", "packed_bf16",
+                                  "packed_x_bf16"):
+            raise ValueError(f"bad warp_mode: {self.warp_mode}")
         if self.features_not_scaled[:1] != ("const",):
             # The QR noise is never applied to column 0, which the reference
             # assumes to be the constant feature (opencl/bmfr.cl:606,625-627).

@@ -14,7 +14,7 @@ from .gather import TAP_OFFSETS, bilinear_weights, floor_int, gather_planes
 
 
 def accumulate_filtered_data(cfg, filtered, prev_pixels, accept, albedo,
-                             spp, prev_out, frame):
+                             spp, prev_out, frame, taps=None):
     """Returns (accumulated ``f32[3,H,W]``, tone_mapped ``f32[3,H,W]``).
 
     filtered: K3 output; prev_pixels ``f32[2,H,W]`` and accept ``u8[H,W]``
@@ -31,6 +31,10 @@ def accumulate_filtered_data(cfg, filtered, prev_pixels, accept, albedo,
     fy = pfy - iy.astype(f32)
     tap_w = bilinear_weights(fx, fy)
 
+    if taps is None:
+        from .warp import gather_taps
+
+        taps = gather_taps(prev_out, iy, ix, mode=cfg.warp_mode)
     prev_color = jnp.zeros((3, H, W), f32)
     total_weight = jnp.zeros((H, W), f32)
     for i, (dx, dy) in enumerate(TAP_OFFSETS):
@@ -40,8 +44,7 @@ def accumulate_filtered_data(cfg, filtered, prev_pixels, accept, albedo,
         # (opencl/bmfr.cl:801-832). Indices are clipped for memory safety.
         ok = (accept & jnp.uint8(1 << i)) > 0
         wgt = jnp.where(ok, tap_w[i], 0.0)
-        prev_color = prev_color + wgt[None] * gather_planes(
-            prev_out, iy + dy, ix + dx)
+        prev_color = prev_color + wgt[None] * taps[i]
         total_weight = total_weight + wgt
 
     enabled = (frame > 0) & (not cfg.skip_second_accum)

@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..rng import feature_noise
 
 DEFAULT_CHUNK = 8
+LANES_OUT = 128  # exported lanes of the reduced system (>= feature_count)
 
 
 def _fitter_kernel(cfg, tmp_ref, noise_ref, w_ref, mm_ref):
@@ -82,22 +83,17 @@ def _fitter_kernel(cfg, tmp_ref, noise_ref, w_ref, mm_ref):
 
         new_col = jnp.where(elem < col, v, 0.0)
         new_col = jnp.where(elem == col, vec_len[:, None], new_col)
-        data = jnp.concatenate(
-            [data[:, :col, :], new_col[:, None, :], rest], axis=1)
+        # (avoid zero-size concatenate operands — Mosaic rejects them)
+        pieces = [new_col[:, None, :], rest]
+        if col > 0:
+            pieces.insert(0, data[:, :col, :])
+        data = jnp.concatenate(pieces, axis=1)
 
-    # --- back substitution on the packed R (opencl/bmfr.cl:659-699).
-    # R[row e, col f] = data[:, f, e]; rhs channels are the color columns.
-    # Solve R x = rhs by static unrolled back-substitution.
-    xs = [None] * F                                # each [C, 3]
-    for i in range(F - 1, -1, -1):
-        acc = jnp.stack(
-            [data[:, F + c, i] for c in range(B - F)], axis=-1)  # rhs[i]
-        for j in range(i + 1, F):
-            rij = data[:, j, i][:, None]           # R[i, j]
-            acc = acc - rij * xs[j]
-        rii = data[:, i, i][:, None]
-        xs[i] = acc / rii
-    w_ref[:] = jnp.stack(xs, axis=1)               # [C, F, 3]
+    # --- export the reduced system. R[row e, col f] = data[:, f, e] lives
+    # in the first F lanes; the (tiny) back substitution
+    # (opencl/bmfr.cl:659-699) runs outside the kernel as one batched
+    # triangular solve — per-element lane extraction is Mosaic-hostile.
+    w_ref[:] = data[:, :, :LANES_OUT]
 
 
 def fit_blocks_pallas(cfg, tmp_blocks, frame, chunk=DEFAULT_CHUNK):
@@ -118,7 +114,7 @@ def fit_blocks_pallas(cfg, tmp_blocks, frame, chunk=DEFAULT_CHUNK):
     grid = (nb_pad // chunk,)
     kernel = functools.partial(_fitter_kernel, cfg)
 
-    weights, mins_maxs = pl.pallas_call(
+    reduced, mins_maxs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -128,16 +124,23 @@ def fit_blocks_pallas(cfg, tmp_blocks, frame, chunk=DEFAULT_CHUNK):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((chunk, F, 3), lambda i: (i, 0, 0),
+            pl.BlockSpec((chunk, B, LANES_OUT), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, n_sc, 2), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nb_pad, F, 3), jnp.float32),
+            jax.ShapeDtypeStruct((nb_pad, B, LANES_OUT), jnp.float32),
             jax.ShapeDtypeStruct((nb_pad, n_sc, 2), jnp.float32),
         ],
         interpret=jax.default_backend() != "tpu",
     )(tmp_blocks, noise)
 
-    return weights[:nb], mins_maxs[:nb]
+    reduced = reduced[:nb]
+    # back substitution (opencl/bmfr.cl:659-699) as a batched triangular
+    # solve on the tiny exported system
+    R = jnp.triu(jnp.swapaxes(reduced[:, :F, :F], 1, 2))
+    rhs = jnp.swapaxes(reduced[:, F:B, :F], 1, 2)
+    weights = jax.lax.linalg.triangular_solve(
+        R, rhs, left_side=True, lower=False)
+    return weights, mins_maxs[:nb]

@@ -19,9 +19,27 @@ import jax.numpy as jnp
 from .gather import TAP_OFFSETS, bilinear_weights, floor_int, gather_planes, in_bounds
 
 
+def reproject_coords(cfg, positions, prev_cam, pixel_offset):
+    """Reprojected previous-frame coordinates for every pixel
+    (opencl/bmfr.cl:338-356). Returns (pfx, pfy) f32 [H, W]."""
+    H, W = cfg.image_height, cfg.image_width
+    wp = positions
+
+    def cam_dot(col):
+        return (prev_cam[0, col] * wp[0] + prev_cam[1, col] * wp[1]
+                + prev_cam[2, col] * wp[2] + prev_cam[3, col])
+
+    u = cam_dot(0)
+    v = cam_dot(1)
+    w = cam_dot(3)
+    pfx = (u / w + 1.0) * 0.5 * W - pixel_offset[0]
+    pfy = (v / w + 1.0) * 0.5 * H - (1.0 - pixel_offset[1])
+    return pfx, pfy
+
+
 def accumulate_noisy_data(cfg, normals, positions, noisy, prev_normals,
                           prev_positions, prev_noisy, prev_spp, prev_cam,
-                          pixel_offset, frame):
+                          pixel_offset, frame, taps=None):
     """First temporal accumulation on the image grid.
 
     Args:
@@ -35,21 +53,17 @@ def accumulate_noisy_data(cfg, normals, positions, noisy, prev_normals,
 
     Returns dict with ``accum f32[3,H,W]``, ``spp u8[H,W]``,
     ``prev_pixels f32[2,H,W]``, ``accept u8[H,W]``.
+
+    ``taps``: optionally the precomputed ``[4, 10, H, W]`` bilinear taps of
+    (prev_positions, prev_normals, prev_noisy, prev_spp) — supplied by the
+    frame orchestrator, which fetches the taps of *all* temporal stages in
+    one shared gather (see pipeline/denoise.py).
     """
     H, W = cfg.image_height, cfg.image_width
     f32 = jnp.float32
     wp = positions
 
-    # --- reprojection to previous frame uv (opencl/bmfr.cl:338-356) ---
-    def cam_dot(col):
-        return (prev_cam[0, col] * wp[0] + prev_cam[1, col] * wp[1]
-                + prev_cam[2, col] * wp[2] + prev_cam[3, col])
-
-    u = cam_dot(0)
-    v = cam_dot(1)
-    w = cam_dot(3)
-    pfx = (u / w + 1.0) * 0.5 * W - pixel_offset[0]
-    pfy = (v / w + 1.0) * 0.5 * H - (1.0 - pixel_offset[1])
+    pfx, pfy = reproject_coords(cfg, positions, prev_cam, pixel_offset)
 
     ix = floor_int(pfx)
     iy = floor_int(pfy)
@@ -58,6 +72,14 @@ def accumulate_noisy_data(cfg, normals, positions, noisy, prev_normals,
     tap_w = bilinear_weights(fx, fy)
 
     # --- masked bilinear taps (opencl/bmfr.cl:374-419) ---
+    if taps is None:
+        from .warp import gather_taps
+
+        stacked = jnp.concatenate(
+            [prev_positions, prev_normals, prev_noisy,
+             prev_spp.astype(f32)[None]], axis=0)   # [10, H, W]
+        taps = gather_taps(stacked, iy, ix, mode=cfg.warp_mode)
+
     prev_color = jnp.zeros((3, H, W), f32)
     sample_spp = jnp.zeros((H, W), f32)
     total_weight = jnp.zeros((H, W), f32)
@@ -67,22 +89,17 @@ def accumulate_noisy_data(cfg, normals, positions, noisy, prev_normals,
     nrm_lim = f32(cfg.normal_limit_squared)
 
     for i, (dx, dy) in enumerate(TAP_OFFSETS):
-        sx = ix + dx
-        sy = iy + dy
-        ok = in_bounds(sy, sx, H, W)
-        p_pos = gather_planes(prev_positions, sy, sx)
-        pos_d = p_pos - wp
+        ok = in_bounds(iy + dy, ix + dx, H, W)
+        pos_d = taps[i, 0:3] - wp
         ok &= (pos_d[0] * pos_d[0] + pos_d[1] * pos_d[1]
                + pos_d[2] * pos_d[2]) < pos_lim
-        p_nrm = gather_planes(prev_normals, sy, sx)
-        nrm_d = p_nrm - normals
+        nrm_d = taps[i, 3:6] - normals
         ok &= (nrm_d[0] * nrm_d[0] + nrm_d[1] * nrm_d[1]
                + nrm_d[2] * nrm_d[2]) < nrm_lim
 
         wgt = jnp.where(ok, tap_w[i], 0.0)
-        prev_color = prev_color + wgt[None] * gather_planes(prev_noisy, sy, sx)
-        sample_spp = sample_spp + wgt * gather_planes(
-            prev_spp.astype(f32), sy, sx)
+        prev_color = prev_color + wgt[None] * taps[i, 6:9]
+        sample_spp = sample_spp + wgt * taps[i, 9]
         total_weight = total_weight + wgt
         accept = accept | jnp.where(ok, jnp.uint8(1 << i), jnp.uint8(0))
 

@@ -26,7 +26,7 @@ def _shifted(planes, dy, dx):
     return view, ok
 
 
-def taa(cfg, prev_pixels, new_frame, prev_result, frame):
+def taa(cfg, prev_pixels, new_frame, prev_result, frame, taps=None):
     """new_frame: tone-mapped K4 output ``f32[3,H,W]``; prev_result: the
     previous frame's TAA output. Returns ``f32[3,H,W]``."""
     H, W = cfg.image_height, cfg.image_width
@@ -63,17 +63,22 @@ def taa(cfg, prev_pixels, new_frame, prev_result, frame):
     y_lo_ok = iy >= 0
     y_hi_ok = iy < H - 1
 
+    if taps is None:
+        from .warp import gather_taps
+
+        taps = gather_taps(prev_result, iy, ix, mode=cfg.warp_mode)
+    tap_vals = taps
     taps = (
-        (w00, iy, ix, y_lo_ok & x_lo_ok),
-        (w10, iy, ix + 1, y_lo_ok & x_hi_ok),
-        (w01, iy + 1, ix, y_hi_ok & x_lo_ok),
-        (w11, iy + 1, ix + 1, y_hi_ok & x_hi_ok),
+        (w00, y_lo_ok & x_lo_ok),
+        (w10, y_lo_ok & x_hi_ok),
+        (w01, y_hi_ok & x_lo_ok),
+        (w11, y_hi_ok & x_hi_ok),
     )
     prev_color = jnp.zeros_like(new_frame)
     total_weight = jnp.zeros((H, W), f32)
-    for wgt, sy, sx, ok in taps:
+    for i, (wgt, ok) in enumerate(taps):
         wm = jnp.where(ok, wgt, 0.0)
-        prev_color = prev_color + wm[None] * gather_planes(prev_result, sy, sx)
+        prev_color = prev_color + wm[None] * tap_vals[i]
         total_weight = total_weight + wm
 
     safe_tw = jnp.where(total_weight > 0.0, total_weight, 1.0)

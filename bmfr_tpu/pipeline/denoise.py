@@ -45,11 +45,34 @@ def denoise_frame(cfg, state: TemporalState, inputs: FrameInputs,
 
     Returns ``(new_state, outputs)`` where outputs is a dict holding the
     final ``result`` plus the intermediates needed for testing/debugging.
+
+    TPU note: the three temporal stages sample the *same* reprojected
+    coordinates (K4/K5 reuse the prev-pixel map K1 stores,
+    opencl/bmfr.cpp:376,382). On TPU the gather cost is dominated by a
+    fixed price per index set, nearly independent of how many channels
+    ride along — so all 16 recurrent channels (positions 3, normals 3,
+    noisy 3, spp 1, out 3, result 3) are fetched in ONE stacked gather per
+    bilinear tap here, and the per-stage tap values are passed down.
     """
+    import jax.numpy as jnp
+
+    from ..ops.gather import floor_int
+    from ..ops.reproject import reproject_coords
+    from ..ops.warp import gather_taps
+
+    pfx, pfy = reproject_coords(cfg, inputs.positions, prev_cam, pixel_offset)
+    ix = floor_int(pfx)
+    iy = floor_int(pfy)
+    stacked = jnp.concatenate(
+        [state.positions, state.normals, state.noisy,
+         state.spp.astype(jnp.float32)[None], state.out, state.result],
+        axis=0)                                    # [16, H, W]
+    all_taps = gather_taps(stacked, iy, ix, mode=cfg.warp_mode)
+
     k1 = accumulate_noisy_data(
         cfg, inputs.normals, inputs.positions, inputs.noisy,
         state.normals, state.positions, state.noisy, state.spp,
-        prev_cam, pixel_offset, frame)
+        prev_cam, pixel_offset, frame, taps=all_taps[:, 0:10])
 
     tmp = build_feature_blocks(
         cfg, inputs.normals, inputs.positions, k1["accum"], frame)
@@ -61,9 +84,10 @@ def denoise_frame(cfg, state: TemporalState, inputs: FrameInputs,
 
     out, tone = accumulate_filtered_data(
         cfg, filtered, k1["prev_pixels"], k1["accept"], inputs.albedo,
-        k1["spp"], state.out, frame)
+        k1["spp"], state.out, frame, taps=all_taps[:, 10:13])
 
-    result = taa(cfg, k1["prev_pixels"], tone, state.result, frame)
+    result = taa(cfg, k1["prev_pixels"], tone, state.result, frame,
+                 taps=all_taps[:, 13:16])
 
     new_state = TemporalState(
         normals=inputs.normals,
