@@ -1,0 +1,132 @@
+"""Fidelity harness — PSNR/SSIM sweeps across scenes and configurations.
+
+BASELINE config 3: the reference project verifies against 4096-spp renders
+offline and by eye (SURVEY §4); this harness makes the comparison a
+reproducible report. It runs a matrix of configurations (solver, storage
+precision, warp mode, stage bypasses) over a set of scenes, comparing the
+tone-mapped outputs against each scene's clean reference, and prints a
+table plus machine-readable JSON.
+
+Usage:
+    python -m bmfr_tpu.fidelity --synthetic --frames 8 --width 128 --height 96
+    python -m bmfr_tpu.fidelity --scenes-root /data/bmfr  # TUNI layout
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+from .config import BMFRConfig
+from .metrics import psnr, ssim
+
+
+def default_config_matrix(base: BMFRConfig):
+    """The standard sweep axes."""
+    return {
+        "default": base,
+        "cholesky": base.replace(solver="cholesky"),
+        "tmp_f16": base.replace(tmp_data_dtype="float16"),
+        "warp_packed": base.replace(warp_mode="packed_x_bf16"),
+        "no_taa": base.replace(skip_taa=True),
+        "first_order": base.replace(
+            features_scaled=("world_position_x", "world_position_y",
+                             "world_position_z")),
+    }
+
+
+def evaluate_scene(cfg, scene, clean_tone):
+    """Run the full pipeline on one scene dict; return per-config metrics
+    vs the tone-mapped clean reference."""
+    import jax
+    import jax.numpy as jnp
+
+    from . import FrameInputs, denoise_sequence
+
+    to_tchw = lambda a: jnp.asarray(np.moveaxis(a, -1, 1).astype(np.float32))
+    seq = FrameInputs(to_tchw(scene["normals"]), to_tchw(scene["positions"]),
+                      to_tchw(scene["noisy"]), to_tchw(scene["albedo"]))
+    out = jax.jit(lambda i, c, o: denoise_sequence(cfg, i, c, o))(
+        seq, jnp.asarray(scene["camera_matrices"]),
+        jnp.asarray(scene["pixel_offsets"]))
+    out = np.moveaxis(np.asarray(out), 1, -1)  # [T, H, W, 3]
+    T = out.shape[0]
+    vals_p = [psnr(out[t], clean_tone[t]) for t in range(T)]
+    vals_s = [ssim(out[t], clean_tone[t]) for t in range(T)]
+    return dict(
+        psnr_mean=float(np.mean(vals_p)), psnr_first=float(vals_p[0]),
+        psnr_last=float(vals_p[-1]), ssim_mean=float(np.mean(vals_s)))
+
+
+def run_sweep(scenes, base_cfg, configs=None):
+    """scenes: dict name -> scene data dict (with a 'clean' reference).
+    Returns list of report rows."""
+    rows = []
+    configs = configs or default_config_matrix(base_cfg)
+    for sname, scene in scenes.items():
+        clean_tone = np.clip(
+            np.power(np.maximum(0.0, scene["clean"]), 0.454545), 0, 1)
+        noisy_tone = np.clip(np.power(np.maximum(
+            0.0, scene["albedo"] * scene["noisy"]), 0.454545), 0, 1)
+        base_p = float(np.mean(
+            [psnr(noisy_tone[t], clean_tone[t])
+             for t in range(clean_tone.shape[0])]))
+        for cname, cfg in configs.items():
+            m = evaluate_scene(cfg.validate(), scene, clean_tone)
+            rows.append(dict(scene=sname, config=cname,
+                             noisy_psnr=base_p, **m))
+    return rows
+
+
+def print_report(rows):
+    hdr = (f"{'scene':<14}{'config':<14}{'noisy dB':>9}{'PSNR dB':>9}"
+           f"{'first':>8}{'last':>8}{'SSIM':>8}")
+    print(hdr)
+    print("-" * len(hdr))
+    for r in rows:
+        print(f"{r['scene']:<14}{r['config']:<14}{r['noisy_psnr']:>9.2f}"
+              f"{r['psnr_mean']:>9.2f}{r['psnr_first']:>8.2f}"
+              f"{r['psnr_last']:>8.2f}{r['ssim_mean']:>8.3f}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--scenes-root")
+    p.add_argument("--width", type=int, default=128)
+    p.add_argument("--height", type=int, default=96)
+    p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--json-out")
+    args = p.parse_args(argv)
+
+    scenes = {}
+    if args.scenes_root:
+        from .io.dataset import discover_scenes
+
+        for sd in discover_scenes(args.scenes_root):
+            data = sd.load_frames()
+            data["clean"] = data["albedo"] * 0 + np.nan  # no clean on disk
+            scenes[sd.path.rstrip("/").split("/")[-1]] = data
+    else:
+        from .io.fixtures import synthetic_sequence
+
+        for seed, name in [(0, "orbit-a"), (7, "orbit-b")]:
+            scenes[name] = synthetic_sequence(
+                width=args.width, height=args.height,
+                frames=args.frames, seed=seed)
+
+    base = BMFRConfig(
+        image_width=args.width, image_height=args.height,
+        position_limit_squared=0.03, normal_limit_squared=0.5)
+    rows = run_sweep(scenes, base)
+    print_report(rows)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(rows, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
