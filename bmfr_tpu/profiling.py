@@ -54,6 +54,18 @@ def block(tree):
     return jax.block_until_ready(tree)
 
 
+def force(tree):
+    """Force completion with a device->host readback.
+
+    On some runtimes (the axon TPU tunnel) ``block_until_ready`` returns
+    before execution finishes; summing one leaf to host is the reliable
+    fence. Returns the checksum."""
+    import jax.numpy as jnp
+
+    leaves = jax.tree.leaves(tree)
+    return float(jnp.sum(leaves[0].astype(jnp.float32)))
+
+
 @dataclass
 class ProfilingInfo:
     """Fixed-label timing series with the reference's report format
