@@ -43,8 +43,15 @@ def _build_argparser():
     p.add_argument("--warp-mode", default="float32",
                    choices=["float32", "packed_bf16", "packed_x_bf16"])
     p.add_argument("--block-edge", type=int, default=32)
-    p.add_argument("--mode", default="frame", choices=["frame", "scan"],
-                   help="per-frame jitted steps or one lax.scan")
+    p.add_argument("--mode", default="frame",
+                   choices=["frame", "scan", "stream"],
+                   help="per-frame jitted steps, one lax.scan, or chunked "
+                        "streaming with overlapped ingest")
+    p.add_argument("--chunk-frames", type=int, default=10,
+                   help="frames per streaming chunk")
+    p.add_argument("--scenes-root",
+                   help="denoise every scene under this directory "
+                        "concurrently (TUNI layout, streaming mode)")
     p.add_argument("--skip-fitting", action="store_true")
     p.add_argument("--skip-second-accum", action="store_true")
     p.add_argument("--skip-taa", action="store_true")
@@ -81,26 +88,84 @@ def main(argv=None):
     print("Initialize.")
     print(f"Using device: {jax.devices()[0]}")
 
-    print("Loading input data.")
-    t0 = time.perf_counter()
-    data, limits = load_inputs(args)
-    print(f"  loaded in {time.perf_counter() - t0:.2f}s")
+    def make_cfg(limits):
+        return BMFRConfig(
+            image_width=args.width, image_height=args.height,
+            solver=args.solver, fitter_impl=args.fitter_impl,
+            tmp_data_dtype=args.tmp_dtype, block_edge=args.block_edge,
+            warp_mode=args.warp_mode,
+            skip_fitting=args.skip_fitting,
+            skip_second_accum=args.skip_second_accum,
+            skip_taa=args.skip_taa, **limits).validate()
 
-    cfg = BMFRConfig(
-        image_width=args.width, image_height=args.height,
-        solver=args.solver, fitter_impl=args.fitter_impl,
-        tmp_data_dtype=args.tmp_dtype, block_edge=args.block_edge,
-        warp_mode=args.warp_mode,
-        skip_fitting=args.skip_fitting,
-        skip_second_accum=args.skip_second_accum,
-        skip_taa=args.skip_taa, **limits).validate()
+    if not args.scenes_root:
+        print("Loading input data.")
+        t0 = time.perf_counter()
+        data, limits = load_inputs(args)
+        print(f"  loaded in {time.perf_counter() - t0:.2f}s")
+        cfg = make_cfg(limits)
+        T = data["noisy"].shape[0]
+    else:
+        cfg = make_cfg(dict(position_limit_squared=0.03,
+                            normal_limit_squared=0.5))
 
-    T = data["noisy"].shape[0]
     to_chw = lambda a: np.moveaxis(a, -1, 0).astype(np.float32)
+
+    if args.scenes_root:
+        from .io.dataset import discover_scenes
+        from .pipeline.streaming import stream_scenes
+
+        scenes = discover_scenes(args.scenes_root)
+        if not scenes:
+            print(f"No scenes found under {args.scenes_root}")
+            return 1
+        # geometry + per-scene reprojection thresholds come from the data
+        # (the reference bakes them in at compile time, bmfr.cpp:39-42,
+        # :226-227)
+        first = scenes[0]
+        cam = first.load_camera()
+        cfg = cfg.replace(
+            image_width=first.width, image_height=first.height,
+            position_limit_squared=cam["position_limit_squared"],
+            normal_limit_squared=cam["normal_limit_squared"]).validate()
+        print(f"Streaming {len(scenes)} scenes "
+              f"({first.width}x{first.height}, {first.frame_count} frames) "
+              f"concurrently across {len(jax.devices())} device(s).")
+        t1 = time.perf_counter()
+        outs = stream_scenes(cfg, scenes, chunk_frames=args.chunk_frames)
+        dt = time.perf_counter() - t1
+        frames = sum(o.shape[0] for o in outs)
+        print(f"{frames} frames in {dt:.2f}s "
+              f"({dt / max(frames, 1) * 1e3:.2f} ms/frame aggregate)")
+        if not args.no_output:
+            from .io.exr import write_png
+
+            os.makedirs(args.output, exist_ok=True)
+            for sd, res in zip(scenes, outs):
+                name = os.path.basename(sd.path.rstrip("/"))
+                for t in range(res.shape[0]):
+                    write_png(
+                        os.path.join(args.output, f"{name}_output{t}.png"),
+                        np.moveaxis(res[t], 0, -1))
+            print(f"Wrote outputs to {args.output}/")
+        return 0
 
     print("Run and profile kernels.")
     prof = ProfilingInfo("Full frame (all 5 stages)")
-    if args.mode == "scan":
+    if args.mode == "stream":
+        from .pipeline.streaming import stream_scene
+
+        def loader(frames):
+            return {k: data[k][frames] for k in
+                    ("normals", "positions", "noisy", "albedo",
+                     "camera_matrices", "pixel_offsets")}
+
+        t1 = time.perf_counter()
+        res = stream_scene(cfg, loader=loader, frame_count=T,
+                           chunk_frames=args.chunk_frames)
+        prof.append((time.perf_counter() - t1) * 1e3 / T)
+        results = [res[t] for t in range(T)]
+    elif args.mode == "scan":
         from . import denoise_sequence
 
         seq = FrameInputs(

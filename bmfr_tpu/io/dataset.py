@@ -87,14 +87,28 @@ class SceneDescriptor:
         return out
 
 
+def probe_scene(path: str) -> SceneDescriptor:
+    """Build a descriptor with dimensions/frame count detected from the
+    files (the reference hard-codes 1280x720x60, opencl/bmfr.cpp:39-42,
+    with a TODO to auto-detect — done here)."""
+    from .exr import read_exr
+
+    img = read_exr(os.path.join(path, "color0.exr"))
+    n = 0
+    while os.path.exists(os.path.join(path, f"color{n}.exr")):
+        n += 1
+    return SceneDescriptor(path=path, frame_count=n,
+                           width=img.shape[1], height=img.shape[0])
+
+
 def discover_scenes(root: str):
     """Find scene directories under ``root`` (any directory holding a
-    camera_matrices.h and a color0.exr)."""
+    camera_matrices.h and a color0.exr), with auto-detected geometry."""
     scenes = []
     for name in sorted(os.listdir(root)):
         p = os.path.join(root, name)
         if (os.path.isdir(p)
                 and os.path.exists(os.path.join(p, "camera_matrices.h"))
                 and os.path.exists(os.path.join(p, "color0.exr"))):
-            scenes.append(SceneDescriptor(path=p))
+            scenes.append(probe_scene(p))
     return scenes
