@@ -159,5 +159,7 @@ def denoise_sequence(cfg, inputs: FrameInputs, camera_matrices,
             return new_state, outputs["result"]
         return new_state, (outputs["result"], outputs["tone"])
 
-    _, results = jax.lax.scan(body, state, jnp.arange(T, dtype=jnp.int32))
+    _, results = jax.lax.scan(
+        body, state, jnp.arange(T, dtype=jnp.int32),
+        unroll=2 if T % 2 == 0 else 1)
     return results
