@@ -66,8 +66,11 @@ def run_sweep(scenes, base_cfg, configs=None):
     rows = []
     configs = configs or default_config_matrix(base_cfg)
     for sname, scene in scenes.items():
+        # prefer the supersampled reference when available — TAA output is
+        # antialiased, so comparing against an aliased render understates it
+        clean = scene.get("clean_aa", scene["clean"])
         clean_tone = np.clip(
-            np.power(np.maximum(0.0, scene["clean"]), 0.454545), 0, 1)
+            np.power(np.maximum(0.0, clean), 0.454545), 0, 1)
         noisy_tone = np.clip(np.power(np.maximum(
             0.0, scene["albedo"] * scene["noisy"]), 0.454545), 0, 1)
         base_p = float(np.mean(
@@ -115,7 +118,7 @@ def main(argv=None):
         for seed, name in [(0, "orbit-a"), (7, "orbit-b")]:
             scenes[name] = synthetic_sequence(
                 width=args.width, height=args.height,
-                frames=args.frames, seed=seed)
+                frames=args.frames, seed=seed, aa_samples=8)
 
     base = BMFRConfig(
         image_width=args.width, image_height=args.height,

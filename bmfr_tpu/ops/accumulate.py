@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .gather import TAP_OFFSETS, bilinear_weights, floor_int, gather_planes
+from .gather import TAP_OFFSETS, bilinear_weights, floor_int
 
 
 def accumulate_filtered_data(cfg, filtered, prev_pixels, accept, albedo,

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .gather import TAP_OFFSETS, bilinear_weights, floor_int, gather_planes, in_bounds
+from .gather import TAP_OFFSETS, bilinear_weights, floor_int, in_bounds
 
 
 def reproject_coords(cfg, positions, prev_cam, pixel_offset):

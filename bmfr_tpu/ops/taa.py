@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..color import rgb_to_ycocg, ycocg_to_rgb
-from .gather import bilinear_weights, floor_int, gather_planes
+from .gather import bilinear_weights, floor_int
 
 
 def _shifted(planes, dy, dx):

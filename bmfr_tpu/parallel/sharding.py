@@ -22,8 +22,7 @@ from __future__ import annotations
 import functools
 
 import jax
-import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..pipeline.denoise import FrameInputs, denoise_sequence
 

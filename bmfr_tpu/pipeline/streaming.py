@@ -13,7 +13,6 @@ concurrently with one worker per scene/device (scene data parallelism).
 
 from __future__ import annotations
 
-import functools
 from concurrent.futures import ThreadPoolExecutor
 
 import jax
