@@ -104,6 +104,11 @@ def fit_blocks_pallas(cfg, tmp_blocks, frame, chunk=DEFAULT_CHUNK):
     bp = cfg.block_pixels
     n_sc = cfg.features_scaled_count
 
+    if tmp_blocks.dtype == jnp.float16:
+        # Mosaic has no f16 vector type; upcast outside the kernel (the
+        # values are identical — the storage rounding already happened).
+        tmp_blocks = tmp_blocks.astype(jnp.float32)
+
     noise = feature_noise(frame, F, bp, cfg.buffer_count, cfg.noise_amount)
 
     nb_pad = ((nb + chunk - 1) // chunk) * chunk

@@ -54,8 +54,6 @@ def denoise_frame(cfg, state: TemporalState, inputs: FrameInputs,
     noisy 3, spp 1, out 3, result 3) are fetched in ONE stacked gather per
     bilinear tap here, and the per-stage tap values are passed down.
     """
-    import jax.numpy as jnp
-
     from ..ops.gather import floor_int
     from ..ops.reproject import reproject_coords
     from ..ops.warp import gather_taps

@@ -87,7 +87,7 @@ def stream_scene(cfg, scene=None, chunk_frames=10, device=None, loader=None,
     state = TemporalState.initial(cfg)
     results = []
     last_cam = None
-    # pad every chunk to chunk_frames so run_chunk compiles once
+    # (a short final chunk triggers one extra compile of run_chunk)
     with ThreadPoolExecutor(max_workers=1) as ex:
         pending = ex.submit(fetch, ranges[0])
         for idx, (s, e) in enumerate(ranges):
