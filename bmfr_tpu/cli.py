@@ -77,6 +77,24 @@ def load_inputs(args):
     return data, limits
 
 
+def _write_outputs_parallel(outdir, named_frames, threads=None):
+    """Parallel PNG writes (the reference uses an OpenMP parallel-for,
+    opencl/bmfr.cpp:521-547)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .io.exr import write_png
+
+    os.makedirs(outdir, exist_ok=True)
+
+    def write_one(item):
+        name, chw = item
+        write_png(os.path.join(outdir, name), np.moveaxis(chw, 0, -1))
+
+    with ThreadPoolExecutor(max_workers=threads or (os.cpu_count() or 8)) as ex:
+        list(ex.map(write_one, named_frames))
+    print(f"Wrote {len(named_frames)} PNGs to {outdir}/")
+
+
 def main(argv=None):
     args = _build_argparser().parse_args(argv)
     import jax
@@ -138,16 +156,11 @@ def main(argv=None):
         print(f"{frames} frames in {dt:.2f}s "
               f"({dt / max(frames, 1) * 1e3:.2f} ms/frame aggregate)")
         if not args.no_output:
-            from .io.exr import write_png
-
-            os.makedirs(args.output, exist_ok=True)
-            for sd, res in zip(scenes, outs):
-                name = os.path.basename(sd.path.rstrip("/"))
-                for t in range(res.shape[0]):
-                    write_png(
-                        os.path.join(args.output, f"{name}_output{t}.png"),
-                        np.moveaxis(res[t], 0, -1))
-            print(f"Wrote outputs to {args.output}/")
+            _write_outputs_parallel(
+                args.output,
+                [(f"{os.path.basename(sd.path.rstrip('/'))}_output{t}.png",
+                  res[t]) for sd, res in zip(scenes, outs)
+                 for t in range(res.shape[0])])
         return 0
 
     print("Run and profile kernels.")
@@ -218,13 +231,9 @@ def main(argv=None):
               f"(first {vals[0]:.2f}, last {vals[-1]:.2f})")
 
     if not args.no_output:
-        from .io.exr import write_png
-
-        os.makedirs(args.output, exist_ok=True)
-        for t, r in enumerate(results):
-            write_png(os.path.join(args.output, f"output{t}.png"),
-                      np.moveaxis(r, 0, -1))
-        print(f"Wrote {len(results)} PNGs to {args.output}/")
+        _write_outputs_parallel(
+            args.output,
+            [(f"output{t}.png", r) for t, r in enumerate(results)])
     return 0
 
 

@@ -49,32 +49,40 @@ class SceneDescriptor:
     def load_camera(self):
         return parse_camera_matrices_header(self.camera_header_path())
 
-    def load_frames(self, frames=None, threads=8):
-        """Load all four buffer series. Returns dict of f32[T,H,W,3] plus
-        camera data merged in."""
+    def load_frames(self, frames=None, threads=0):
+        """Load all four buffer series (one parallel batch across all
+        series — the OpenMP-parallel load of opencl/bmfr.cpp:259-307).
+        Returns dict of f32[T,H,W,3] plus camera data merged in."""
         frames = list(range(self.frame_count)) if frames is None else list(frames)
+        threads = threads or (os.cpu_count() or 8)
         out = {}
-        for buf in BUFFER_NAMES:
-            base = self.buffer_path(buf)
-            if native.available():
-                paths = [f"{base}{f}.exr" for f in frames]
-                arr = native.load_frames(
-                    paths, self.width, self.height, 3, threads)
-            else:
-                arr = np.empty(
+        if native.available():
+            paths = []
+            for buf in BUFFER_NAMES:
+                base = self.buffer_path(buf)
+                paths += [f"{base}{f}.exr" for f in frames]
+            arr = native.load_frames(
+                paths, self.width, self.height, 3, threads)
+            n = len(frames)
+            for i, buf in enumerate(BUFFER_NAMES):
+                out[buf] = arr[i * n:(i + 1) * n]
+        else:
+            for buf in BUFFER_NAMES:
+                out[buf] = np.empty(
                     (len(frames), self.height, self.width, 3), np.float32)
 
-                def load_one(i_f):
-                    i, f = i_f
-                    res, img = read_image_file(
-                        base, f, (self.height, self.width))
-                    if not res:
-                        raise IOError(res.error_message)
-                    arr[i] = img
+            def load_one(job):
+                buf, i, f = job
+                res, img = read_image_file(
+                    self.buffer_path(buf), f, (self.height, self.width))
+                if not res:
+                    raise IOError(res.error_message)
+                out[buf][i] = img
 
-                with ThreadPoolExecutor(max_workers=threads) as ex:
-                    list(ex.map(load_one, enumerate(frames)))
-            out[buf] = arr
+            jobs = [(buf, i, f) for buf in BUFFER_NAMES
+                    for i, f in enumerate(frames)]
+            with ThreadPoolExecutor(max_workers=threads) as ex:
+                list(ex.map(load_one, jobs))
         cam = self.load_camera()
         out["camera_matrices"] = cam["camera_matrices"][frames]
         out["pixel_offsets"] = cam["pixel_offsets"][frames]
