@@ -23,7 +23,8 @@ from .blockify import blockify_planes, unblockify_planes
 from .fitter import scale_with_mins_maxs
 
 
-def weighted_sum(cfg, weights, mins_maxs, normals, positions, noisy, frame):
+def weighted_sum(cfg, weights, mins_maxs, normals, positions, noisy, frame,
+                 feature_blocks=None):
     """Reconstruct the filtered image.
 
     weights: ``f32[n_blocks, F, 3]``; mins_maxs: ``f32[n_blocks, n_sc, 2]``;
@@ -31,9 +32,20 @@ def weighted_sum(cfg, weights, mins_maxs, normals, positions, noisy, frame):
     source, opencl/bmfr.cl:752-754).
     Returns ``f32[3, H, W]`` filtered color, negatives clamped to 0
     (opencl/bmfr.cl:750).
+
+    ``feature_blocks``: optionally the fit input blocks from
+    :func:`bmfr_tpu.ops.blockify.build_feature_blocks` — their unscaled
+    feature rows are exactly the basis K3 would rebuild (the reference
+    recomputes per pixel instead, opencl/bmfr.cl:724-729), so the
+    orchestrator passes them to skip a second blockify. Only valid with
+    float32 storage (reduced-precision tmp rounds the features; the
+    reference's K3 reads raw f32 buffers).
     """
-    feats = evaluate_features(cfg.all_features, normals, positions)
-    fblocks = blockify_planes(cfg, feats, frame)  # [nb, F, bp]
+    if feature_blocks is not None and cfg.tmp_data_dtype == "float32":
+        fblocks = feature_blocks[:, : cfg.feature_count, :]
+    else:
+        feats = evaluate_features(cfg.all_features, normals, positions)
+        fblocks = blockify_planes(cfg, feats, frame)  # [nb, F, bp]
 
     lo = cfg.features_not_scaled_count
     scaled = scale_with_mins_maxs(

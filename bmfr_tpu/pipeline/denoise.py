@@ -78,7 +78,7 @@ def denoise_frame(cfg, state: TemporalState, inputs: FrameInputs,
 
     filtered = weighted_sum(
         cfg, weights, mins_maxs, inputs.normals, inputs.positions,
-        k1["accum"], frame)
+        k1["accum"], frame, feature_blocks=tmp)
 
     out, tone = accumulate_filtered_data(
         cfg, filtered, k1["prev_pixels"], k1["accept"], inputs.albedo,
