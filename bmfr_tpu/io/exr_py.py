@@ -48,6 +48,25 @@ class _Cursor:
         return s
 
 
+def _rle_decompress(data: bytes, out_size: int) -> bytes:
+    """EXR RLE: signed count byte; negative = literals, else repeat."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < out_size:
+        count = data[i]
+        i += 1
+        if count > 127:  # negative int8 -> literal run
+            ln = 256 - count
+            out += data[i : i + ln]
+            i += ln
+        else:
+            out += bytes([data[i]]) * (count + 1)
+            i += 1
+    if len(out) != out_size:
+        raise IOError("corrupt RLE EXR chunk")
+    return bytes(out)
+
+
 def _unfilter(data: bytes) -> bytes:
     arr = np.frombuffer(data, np.uint8).astype(np.int16)
     arr = (np.cumsum(arr - 128, dtype=np.int64) + 128) % 256
@@ -96,7 +115,7 @@ def read_exr_py(path: str) -> np.ndarray:
 
     W = dw[2] - dw[0] + 1
     H = dw[3] - dw[1] + 1
-    lpb = {0: 1, 2: 1, 3: 16}.get(compression)
+    lpb = {0: 1, 1: 1, 2: 1, 3: 16}.get(compression)
     if lpb is None:
         raise IOError(f"{path}: unsupported compression {compression}")
 
@@ -118,6 +137,8 @@ def read_exr_py(path: str) -> np.ndarray:
         raw_size = line_bytes * nlines
         if compression == 0 or packed >= raw_size:
             raw = chunk
+        elif compression == 1:
+            raw = _unfilter(_rle_decompress(chunk, raw_size))
         else:
             raw = _unfilter(zlib.decompress(chunk))
         p = 0

@@ -65,6 +65,11 @@ def _load():
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
         lib.bmfr_exr_write.restype = ctypes.c_int
+        lib.bmfr_exr_write_ex.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int]
+        lib.bmfr_exr_write_ex.restype = ctypes.c_int
         lib.bmfr_png_write.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int, ctypes.c_int, ctypes.c_int]
@@ -105,13 +110,17 @@ def read_exr(path: str) -> np.ndarray:
     return out
 
 
-def write_exr(path: str, img: np.ndarray, half: bool = False):
+EXR_COMPRESSION = {"none": 0, "rle": 1, "zip": 3}
+
+
+def write_exr(path: str, img: np.ndarray, half: bool = False,
+              compression: str = "zip"):
     lib = _load()
     img = np.ascontiguousarray(img, np.float32)
     h, w, c = img.shape
-    rc = lib.bmfr_exr_write(
+    rc = lib.bmfr_exr_write_ex(
         path.encode(), img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        w, h, c, 1 if half else 0)
+        w, h, c, 1 if half else 0, EXR_COMPRESSION[compression])
     if rc != 0:
         raise IOError(f"{path}: {_err(lib)}")
 

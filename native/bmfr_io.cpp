@@ -265,11 +265,73 @@ bool zlib_inflate(const uint8_t *src, size_t n, std::vector<uint8_t> &dst) {
 int lines_per_block(uint8_t compression) {
   switch (compression) {
     case 0: return 1;   // NONE
-    case 1: return 1;   // RLE (unsupported below)
+    case 1: return 1;   // RLE
     case 2: return 1;   // ZIPS
     case 3: return 16;  // ZIP
     default: return -1;
   }
+}
+
+// EXR RLE codec (ImfRle.cpp semantics): signed count byte; negative =
+// that many literal bytes follow, non-negative = count+1 copies of the
+// next byte. Applied to the same filtered/interleaved byte stream as ZIP.
+bool rle_decompress(const uint8_t *src, size_t n, std::vector<uint8_t> &dst) {
+  size_t di = 0;
+  const uint8_t *end = src + n;
+  while (src < end) {
+    int count = (int8_t)*src++;
+    if (count < 0) {
+      size_t len = (size_t)(-count);
+      if (src + len > end || di + len > dst.size()) {
+        set_error("corrupt RLE data");
+        return false;
+      }
+      std::memcpy(dst.data() + di, src, len);
+      src += len;
+      di += len;
+    } else {
+      size_t len = (size_t)count + 1;
+      if (src >= end || di + len > dst.size()) {
+        set_error("corrupt RLE data");
+        return false;
+      }
+      std::memset(dst.data() + di, *src++, len);
+      di += len;
+    }
+  }
+  if (di != dst.size()) {
+    set_error("RLE size mismatch");
+    return false;
+  }
+  return true;
+}
+
+size_t rle_compress(const uint8_t *src, size_t n, std::vector<uint8_t> &out) {
+  // Simple conformant encoder: runs of >=3 as repeats, else literals.
+  out.clear();
+  size_t i = 0;
+  while (i < n) {
+    size_t run = 1;
+    while (i + run < n && src[i + run] == src[i] && run < 128) run++;
+    if (run >= 3) {
+      out.push_back((uint8_t)(run - 1));
+      out.push_back(src[i]);
+      i += run;
+    } else {
+      size_t lit = i;
+      size_t len = 0;
+      while (i < n && len < 127) {
+        size_t r = 1;
+        while (i + r < n && src[i + r] == src[i] && r < 128) r++;
+        if (r >= 3) break;
+        i += r;
+        len += r;
+      }
+      out.push_back((uint8_t)(-(int)len));
+      out.insert(out.end(), src + lit, src + lit + len);
+    }
+  }
+  return out.size();
 }
 
 // Decode one EXR file into interleaved RGB float32 (out[h][w][c]).
@@ -288,7 +350,7 @@ bool decode_exr(const char *path, float *out, int exp_w, int exp_h,
     return false;
   }
   const int lpb = lines_per_block(h.compression);
-  if (lpb < 0 || h.compression == 1) {
+  if (lpb < 0) {
     set_error("unsupported EXR compression " +
               std::to_string((int)h.compression));
     return false;
@@ -353,7 +415,11 @@ bool decode_exr(const char *path, float *out, int exp_w, int exp_h,
       data_ptr = cp;  // stored raw
     } else {
       raw.assign(unpacked, 0);
-      if (!zlib_inflate(cp, packed, raw)) return false;
+      if (h.compression == 1) {
+        if (!rle_decompress(cp, packed, raw)) return false;
+      } else {
+        if (!zlib_inflate(cp, packed, raw)) return false;
+      }
       exr_unfilter(raw);
       data_ptr = raw.data();
     }
@@ -478,7 +544,7 @@ void wr_f32(std::vector<uint8_t> &v, float x) {
 }
 
 bool write_exr_impl(const char *path, const float *img, int w, int h, int c,
-                    bool half) {
+                    bool half, int compression) {
   if (c != 3) {
     set_error("exr writer: only 3 channels supported");
     return false;
@@ -511,7 +577,11 @@ bool write_exr_impl(const char *path, const float *img, int w, int h, int c,
   chl.push_back(0);
   attr("channels", "chlist", chl);
 
-  std::vector<uint8_t> comp = {3};  // ZIP
+  if (compression != 0 && compression != 1 && compression != 3) {
+    set_error("exr writer: compression must be NONE(0), RLE(1) or ZIP(3)");
+    return false;
+  }
+  std::vector<uint8_t> comp = {(uint8_t)compression};
   attr("compression", "compression", comp);
 
   std::vector<uint8_t> dw;
@@ -540,7 +610,7 @@ bool write_exr_impl(const char *path, const float *img, int w, int h, int c,
 
   out.push_back(0);  // end of header
 
-  const int lpb = 16;
+  const int lpb = compression == 3 ? 16 : 1;
   const int nblocks = (h + lpb - 1) / lpb;
   const size_t px_bytes = half ? 2 : 4;
   const size_t line_bytes = px_bytes * (size_t)w * 3;
@@ -574,21 +644,31 @@ bool write_exr_impl(const char *path, const float *img, int w, int h, int c,
         rp += px_bytes * (size_t)w;
       }
     }
-    exr_filter(rawbuf);
-    uLongf zlen = compressBound((uLong)rawbuf.size());
-    zbuf.resize(zlen);
-    if (compress2(zbuf.data(), &zlen, rawbuf.data(), (uLong)rawbuf.size(),
-                  6) != Z_OK) {
-      set_error("exr: zlib compress failed");
-      return false;
+    size_t zlen = 0;
+    if (compression == 0) {
+      zlen = rawbuf.size();  // force raw path below
+    } else {
+      exr_filter(rawbuf);
+      if (compression == 1) {
+        zlen = rle_compress(rawbuf.data(), rawbuf.size(), zbuf);
+      } else {
+        uLongf zl = compressBound((uLong)rawbuf.size());
+        zbuf.resize(zl);
+        if (compress2(zbuf.data(), &zl, rawbuf.data(), (uLong)rawbuf.size(),
+                      6) != Z_OK) {
+          set_error("exr: zlib compress failed");
+          return false;
+        }
+        zlen = zl;
+      }
     }
     wr_u32(out, (uint32_t)ylo);
-    if (zlen < rawbuf.size()) {
+    if (compression != 0 && zlen < rawbuf.size()) {
       wr_u32(out, (uint32_t)zlen);
       out.insert(out.end(), zbuf.begin(), zbuf.begin() + zlen);
     } else {
-      // un-filter back: store raw when compression doesn't help
-      exr_unfilter(rawbuf);
+      // store raw when compression doesn't help (or NONE)
+      if (compression != 0) exr_unfilter(rawbuf);
       wr_u32(out, (uint32_t)rawbuf.size());
       out.insert(out.end(), rawbuf.begin(), rawbuf.end());
     }
@@ -637,7 +717,12 @@ int bmfr_exr_read(const char *path, float *out, int w, int h, int c) {
 
 int bmfr_exr_write(const char *path, const float *img, int w, int h, int c,
                    int half) {
-  return write_exr_impl(path, img, w, h, c, half != 0) ? 0 : 1;
+  return write_exr_impl(path, img, w, h, c, half != 0, 3) ? 0 : 1;
+}
+
+int bmfr_exr_write_ex(const char *path, const float *img, int w, int h,
+                      int c, int half, int compression) {
+  return write_exr_impl(path, img, w, h, c, half != 0, compression) ? 0 : 1;
 }
 
 int bmfr_png_write(const char *path, const uint8_t *img, int w, int h,

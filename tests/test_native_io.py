@@ -91,3 +91,27 @@ def test_read_header(tmp_path, img):
     c = ctypes.c_int()
     assert lib.bmfr_exr_read_header(p.encode(), w, h, c) == 0
     assert (w.value, h.value, c.value) == (64, 48, 3)
+
+
+@pytest.mark.parametrize("compression", ["none", "rle", "zip"])
+def test_exr_compression_modes_roundtrip(tmp_path, img, compression):
+    p = str(tmp_path / f"{compression}.exr")
+    native.write_exr(p, img, compression=compression)
+    np.testing.assert_array_equal(native.read_exr(p), img)
+    # independent python reader agrees
+    from bmfr_tpu.io.exr_py import read_exr_py
+
+    np.testing.assert_array_equal(read_exr_py(p), img)
+
+
+def test_exr_rle_compresses_flat_image(tmp_path):
+    # half-float data is what the EXR byte predictor is designed for
+    flat = np.full((48, 64, 3), 0.25, np.float32)
+    p_rle = str(tmp_path / "flat_rle.exr")
+    p_none = str(tmp_path / "flat_none.exr")
+    native.write_exr(p_rle, flat, half=True, compression="rle")
+    native.write_exr(p_none, flat, half=True, compression="none")
+    import os as _os
+
+    assert _os.path.getsize(p_rle) < _os.path.getsize(p_none) / 4
+    np.testing.assert_array_equal(native.read_exr(p_rle), flat)
