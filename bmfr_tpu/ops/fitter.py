@@ -20,7 +20,7 @@ The reference's cross-color reflections (cols 10..12 reflecting cols 11..12,
 opencl/bmfr.cl:549 with ``limit = buffers``) only modify rows >= 10 of the
 color columns, which the back substitution never reads — so they are skipped
 here; this is validated against the literal oracle in
-``tests/test_fitter.py``.
+``tests/test_pipeline_vs_oracle.py`` and ``tests/test_config_sweeps.py``.
 
 The deterministic regularization noise (opencl/bmfr.cl:625-627) is applied
 to feature columns 1..F-1 up front: with the default CACHE_TMP_DATA=1 the
