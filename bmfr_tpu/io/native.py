@@ -110,7 +110,7 @@ def read_exr(path: str) -> np.ndarray:
     return out
 
 
-EXR_COMPRESSION = {"none": 0, "rle": 1, "zip": 3}
+EXR_COMPRESSION = {"none": 0, "rle": 1, "zips": 2, "zip": 3}
 
 
 def write_exr(path: str, img: np.ndarray, half: bool = False,

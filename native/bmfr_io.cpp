@@ -577,8 +577,10 @@ bool write_exr_impl(const char *path, const float *img, int w, int h, int c,
   chl.push_back(0);
   attr("channels", "chlist", chl);
 
-  if (compression != 0 && compression != 1 && compression != 3) {
-    set_error("exr writer: compression must be NONE(0), RLE(1) or ZIP(3)");
+  if (compression != 0 && compression != 1 && compression != 2 &&
+      compression != 3) {
+    set_error("exr writer: compression must be NONE(0), RLE(1), ZIPS(2) "
+              "or ZIP(3)");
     return false;
   }
   std::vector<uint8_t> comp = {(uint8_t)compression};
@@ -651,7 +653,7 @@ bool write_exr_impl(const char *path, const float *img, int w, int h, int c,
       exr_filter(rawbuf);
       if (compression == 1) {
         zlen = rle_compress(rawbuf.data(), rawbuf.size(), zbuf);
-      } else {
+      } else {  // ZIPS(2) and ZIP(3) share the zlib path
         uLongf zl = compressBound((uLong)rawbuf.size());
         zbuf.resize(zl);
         if (compress2(zbuf.data(), &zl, rawbuf.data(), (uLong)rawbuf.size(),

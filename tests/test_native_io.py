@@ -93,7 +93,7 @@ def test_read_header(tmp_path, img):
     assert (w.value, h.value, c.value) == (64, 48, 3)
 
 
-@pytest.mark.parametrize("compression", ["none", "rle", "zip"])
+@pytest.mark.parametrize("compression", ["none", "rle", "zips", "zip"])
 def test_exr_compression_modes_roundtrip(tmp_path, img, compression):
     p = str(tmp_path / f"{compression}.exr")
     native.write_exr(p, img, compression=compression)
