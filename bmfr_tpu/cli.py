@@ -189,10 +189,14 @@ def main(argv=None):
         )
         cams = jnp.asarray(data["camera_matrices"])
         offs = jnp.asarray(data["pixel_offsets"])
+        from .profiling import force
+
         run = jax.jit(lambda s, c, o: denoise_sequence(cfg, s, c, o))
-        out = jax.block_until_ready(run(seq, cams, offs))  # compile+run
+        out = run(seq, cams, offs)
+        force(out)  # compile+run (readback fence; see profiling.force)
         t1 = time.perf_counter()
-        out = jax.block_until_ready(run(seq, cams, offs))
+        out = run(seq, cams, offs)
+        force(out)
         prof.append((time.perf_counter() - t1) * 1e3 / T)
         results = [np.asarray(out[t]) for t in range(T)]
     else:
@@ -212,7 +216,9 @@ def main(argv=None):
             t1 = time.perf_counter()
             state, result = step(state, inputs, prev_cam, off,
                                  jnp.int32(t))
-            jax.block_until_ready(result)
+            from .profiling import force
+
+            force(result)  # readback fence (block_until_ready may no-op)
             if t > 0:  # frame 0 includes compilation
                 prof.append((time.perf_counter() - t1) * 1e3)
             results.append(np.asarray(result))
