@@ -1,17 +1,20 @@
 """Bilinear tap engine: gather strategies for the temporal stages.
 
-On this TPU stack XLA's gather costs ~2.4 ms per [720,1280] index set even
-with shared indices, and the VPU/Mosaic dynamic-gather path carries a ~30 us
-fixed per-op overhead (measured; see docs/PERF_NOTES.md) — so the only
-effective lever is reducing the *number* of gathers. ``packed_bf16`` packs
-two bf16 channels into each 32-bit lane, halving the gather count of
-K1/K4/K5 at a ~0.4% relative rounding cost on the gathered history values
-(well under the fidelity budget; the exact ``float32`` mode remains the
-default for oracle-equivalence testing).
+On this TPU stack XLA's gather costs ~8-10 ms per gather *op* on a
+[720,1280] index set, nearly independent of how many (<=16) channels ride
+along, and Mosaic's in-kernel dynamic-gather carries a ~30 us fixed
+per-op overhead (measured; see docs/PERF_NOTES.md) — so the only
+effective lever is minimizing the number of gather ops.
 
 Modes:
-  * ``float32``: one f32 gather per channel per tap (exact).
-  * ``packed_bf16``: one i32 gather per *channel pair* per tap.
+  * ``float32``: one gather op per tap (4 total; bit-exact — the default,
+    used by the oracle-equivalence tests and fidelity work).
+  * ``packed_bf16``: two bf16 *channels* per 32-bit lane (4 ops, half the
+    lanes).
+  * ``packed_x_bf16``: two bf16 horizontal *taps* per 32-bit lane — the
+    whole four-tap fetch of up to 16 channels in 2 gather ops, the
+    measured optimum (~0.4% relative rounding on gathered history, far
+    below the fidelity budget; used by the benchmark configuration).
 """
 
 from __future__ import annotations
