@@ -52,6 +52,9 @@ def _build_argparser():
     p.add_argument("--scenes-root",
                    help="denoise every scene under this directory "
                         "concurrently (TUNI layout, streaming mode)")
+    p.add_argument("--device", type=int, default=0,
+                   help="device index (the reference's PLATFORM_INDEX/"
+                        "DEVICE_INDEX, bmfr.cpp:33-34)")
     p.add_argument("--skip-fitting", action="store_true")
     p.add_argument("--skip-second-accum", action="store_true")
     p.add_argument("--skip-taa", action="store_true")
@@ -104,7 +107,14 @@ def main(argv=None):
     from .profiling import ProfilingInfo, print_report
 
     print("Initialize.")
-    print(f"Using device: {jax.devices()[0]}")
+    devices = jax.devices()
+    if args.device >= len(devices):
+        print(f"Device index {args.device} out of range "
+              f"({len(devices)} available)")
+        return 1
+    device = devices[args.device]
+    jax.config.update("jax_default_device", device)
+    print(f"Using device: {device}")
 
     def make_cfg(limits):
         return BMFRConfig(
