@@ -63,10 +63,11 @@ def _build_argparser():
 
 def load_inputs(args):
     if args.scene:
-        from .io.dataset import SceneDescriptor
+        from .io.dataset import probe_scene
 
-        sd = SceneDescriptor(path=args.scene, frame_count=args.frames,
-                             width=args.width, height=args.height)
+        sd = probe_scene(args.scene)  # auto-detect geometry + frame count
+        args.width, args.height = sd.width, sd.height
+        sd.frame_count = min(sd.frame_count, args.frames)
         data = sd.load_frames()
         limits = dict(
             position_limit_squared=data["position_limit_squared"],
