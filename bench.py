@@ -61,21 +61,26 @@ def main():
     cams = jnp.asarray(sc["camera_matrices"])
     offs = jnp.asarray(sc["pixel_offsets"])
 
+    from bmfr_tpu.profiling import timed_force
+
     run = jax.jit(lambda i, c, o: denoise_sequence(cfg, i, c, o))
 
     print("[bench] compiling...", file=sys.stderr)
     t0 = time.perf_counter()
-    out = jax.block_until_ready(run(inputs, cams, offs))
+    secs, out, _ = timed_force(run, inputs, cams, offs)
     print(f"[bench] compile+first run {time.perf_counter()-t0:.1f}s",
           file=sys.stderr)
     assert bool(jnp.isfinite(out).all()), "non-finite bench output"
 
+    # Steady-state timing with the readback fence (block_until_ready may
+    # no-op on this stack — docs/PERF_NOTES.md; the fence is the rendered
+    # frame reaching the host, like the reference's event end timestamps).
     reps = int(os.environ.get("BENCH_REPS", "3"))
     times = []
     for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(run(inputs, cams, offs))
-        times.append((time.perf_counter() - t0) / frames * 1e3)
+        secs, _, checksum = timed_force(run, inputs, cams, offs)
+        assert checksum == checksum, "NaN checksum"  # also keeps it live
+        times.append(secs / frames * 1e3)
     ms = min(times)
 
     print(f"[bench] per-frame times (ms): "

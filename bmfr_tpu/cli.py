@@ -148,15 +148,10 @@ def main(argv=None):
         if not scenes:
             print(f"No scenes found under {args.scenes_root}")
             return 1
-        # geometry + per-scene reprojection thresholds come from the data
-        # (the reference bakes them in at compile time, bmfr.cpp:39-42,
-        # :226-227)
+        # Geometry + per-scene reprojection thresholds come from each
+        # scene's own camera_matrices.h inside stream_scenes (the reference
+        # bakes them per scene at compile time, bmfr.cpp:39-42, :226-227).
         first = scenes[0]
-        cam = first.load_camera()
-        cfg = cfg.replace(
-            image_width=first.width, image_height=first.height,
-            position_limit_squared=cam["position_limit_squared"],
-            normal_limit_squared=cam["normal_limit_squared"]).validate()
         print(f"Streaming {len(scenes)} scenes "
               f"({first.width}x{first.height}, {first.frame_count} frames) "
               f"concurrently across {len(jax.devices())} device(s).")

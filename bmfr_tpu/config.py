@@ -75,7 +75,7 @@ class BMFRConfig:
 
     # --- block geometry (opencl/bmfr.cpp:102-118) ---
     #: Edge length of a fitting block. The reference supports only 32
-    #: (opencl/bmfr.cpp:103-104); we support any multiple of 8 >= 16 for the
+    #: (opencl/bmfr.cpp:103-104); we support any multiple of 8 >= 8 for the
     #: block-size sweeps (BASELINE config 4).
     block_edge: int = 32
 

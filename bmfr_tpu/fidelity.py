@@ -37,9 +37,9 @@ def default_config_matrix(base: BMFRConfig):
     }
 
 
-def evaluate_scene(cfg, scene, clean_tone):
-    """Run the full pipeline on one scene dict; return per-config metrics
-    vs the tone-mapped clean reference."""
+def run_scene(cfg, scene):
+    """Run the full pipeline on one scene dict; returns tone-mapped output
+    ``f32[T, H, W, 3]`` in [0, 1] (the comparison domain)."""
     import jax
     import jax.numpy as jnp
 
@@ -51,33 +51,72 @@ def evaluate_scene(cfg, scene, clean_tone):
     out = jax.jit(lambda i, c, o: denoise_sequence(cfg, i, c, o))(
         seq, jnp.asarray(scene["camera_matrices"]),
         jnp.asarray(scene["pixel_offsets"]))
-    out = np.moveaxis(np.asarray(out), 1, -1)  # [T, H, W, 3]
+    return np.moveaxis(np.asarray(out), 1, -1)  # [T, H, W, 3]
+
+
+def _series_metrics(out, ref, prefix=""):
     T = out.shape[0]
-    vals_p = [psnr(out[t], clean_tone[t]) for t in range(T)]
-    vals_s = [ssim(out[t], clean_tone[t]) for t in range(T)]
-    return dict(
-        psnr_mean=float(np.mean(vals_p)), psnr_first=float(vals_p[0]),
-        psnr_last=float(vals_p[-1]), ssim_mean=float(np.mean(vals_s)))
+    vals_p = [psnr(out[t], ref[t]) for t in range(T)]
+    vals_s = [ssim(out[t], ref[t]) for t in range(T)]
+    return {
+        f"{prefix}psnr_mean": float(np.mean(vals_p)),
+        f"{prefix}psnr_first": float(vals_p[0]),
+        f"{prefix}psnr_last": float(vals_p[-1]),
+        f"{prefix}ssim_mean": float(np.mean(vals_s)),
+    }
+
+
+def evaluate_scene(cfg, scene, clean_tone, opencl=None):
+    """Metrics of one config on one scene: vs the tone-mapped clean
+    reference, and (when present) vs the OpenCL implementation's own output
+    PNGs — the BASELINE "within 0.1 dB of the OpenCL reference" axis."""
+    out = run_scene(cfg, scene)
+    m = _series_metrics(out, clean_tone) if clean_tone is not None else {}
+    if opencl is not None:
+        m.update(_series_metrics(out, opencl, prefix="opencl_"))
+    return m
+
+
+def _scene_cfg(base_cfg, scene):
+    """Per-scene config: geometry + the scene's own reprojection discard
+    thresholds (the reference bakes them per scene, opencl/bmfr.cpp:226-227)."""
+    c = base_cfg.replace(
+        image_width=scene["noisy"].shape[2],
+        image_height=scene["noisy"].shape[1])
+    if "position_limit_squared" in scene:
+        c = c.replace(
+            position_limit_squared=float(scene["position_limit_squared"]),
+            normal_limit_squared=float(scene["normal_limit_squared"]))
+    return c
 
 
 def run_sweep(scenes, base_cfg, configs=None):
-    """scenes: dict name -> scene data dict (with a 'clean' reference).
-    Returns list of report rows."""
+    """scenes: dict name -> scene data dict with a 'clean' (and optionally
+    'clean_aa' / 'opencl') reference. Scenes without any reference are
+    reported as skipped rows. Returns list of report rows."""
     rows = []
-    configs = configs or default_config_matrix(base_cfg)
     for sname, scene in scenes.items():
+        scfg = _scene_cfg(base_cfg, scene)
+        sweep = configs or default_config_matrix(scfg)
         # prefer the supersampled reference when available — TAA output is
         # antialiased, so comparing against an aliased render understates it
-        clean = scene.get("clean_aa", scene["clean"])
-        clean_tone = np.clip(
-            np.power(np.maximum(0.0, clean), 0.454545), 0, 1)
-        noisy_tone = np.clip(np.power(np.maximum(
-            0.0, scene["albedo"] * scene["noisy"]), 0.454545), 0, 1)
-        base_p = float(np.mean(
-            [psnr(noisy_tone[t], clean_tone[t])
-             for t in range(clean_tone.shape[0])]))
-        for cname, cfg in configs.items():
-            m = evaluate_scene(cfg.validate(), scene, clean_tone)
+        clean = scene.get("clean_aa", scene.get("clean"))
+        opencl = scene.get("opencl")
+        if clean is None and opencl is None:
+            rows.append(dict(scene=sname, config="-", skipped=True,
+                             note="no clean/opencl reference on disk"))
+            continue
+        clean_tone = base_p = None
+        if clean is not None:
+            clean_tone = np.clip(
+                np.power(np.maximum(0.0, clean), 0.454545), 0, 1)
+            noisy_tone = np.clip(np.power(np.maximum(
+                0.0, scene["albedo"] * scene["noisy"]), 0.454545), 0, 1)
+            base_p = float(np.mean(
+                [psnr(noisy_tone[t], clean_tone[t])
+                 for t in range(clean_tone.shape[0])]))
+        for cname, cfg in sweep.items():
+            m = evaluate_scene(cfg.validate(), scene, clean_tone, opencl)
             rows.append(dict(scene=sname, config=cname,
                              noisy_psnr=base_p, **m))
     return rows
@@ -85,13 +124,22 @@ def run_sweep(scenes, base_cfg, configs=None):
 
 def print_report(rows):
     hdr = (f"{'scene':<14}{'config':<14}{'noisy dB':>9}{'PSNR dB':>9}"
-           f"{'first':>8}{'last':>8}{'SSIM':>8}")
+           f"{'first':>8}{'last':>8}{'SSIM':>8}{'vs-OCL dB':>10}")
     print(hdr)
     print("-" * len(hdr))
+
+    def fmt(r, key, width, prec):
+        v = r.get(key)
+        return f"{v:>{width}.{prec}f}" if v is not None else " " * width
+
     for r in rows:
-        print(f"{r['scene']:<14}{r['config']:<14}{r['noisy_psnr']:>9.2f}"
-              f"{r['psnr_mean']:>9.2f}{r['psnr_first']:>8.2f}"
-              f"{r['psnr_last']:>8.2f}{r['ssim_mean']:>8.3f}")
+        if r.get("skipped"):
+            print(f"{r['scene']:<14}{'(skipped)':<14}{r['note']}")
+            continue
+        print(f"{r['scene']:<14}{r['config']:<14}"
+              + fmt(r, "noisy_psnr", 9, 2) + fmt(r, "psnr_mean", 9, 2)
+              + fmt(r, "psnr_first", 8, 2) + fmt(r, "psnr_last", 8, 2)
+              + fmt(r, "ssim_mean", 8, 3) + fmt(r, "opencl_psnr_mean", 10, 2))
 
 
 def main(argv=None):
@@ -108,9 +156,13 @@ def main(argv=None):
     if args.scenes_root:
         from .io.dataset import discover_scenes
 
+        frames = list(range(args.frames)) if args.frames else None
         for sd in discover_scenes(args.scenes_root):
-            data = sd.load_frames()
-            data["clean"] = data["albedo"] * 0 + np.nan  # no clean on disk
+            data = sd.load_frames(frames=frames)
+            # 4096-spp clean EXRs and/or the OpenCL implementation's output
+            # PNGs, whichever the mirror ships (README.md:10-12); scenes
+            # with neither are reported as skipped by run_sweep.
+            data.update(sd.load_references(frames=frames))
             scenes[sd.path.rstrip("/").split("/")[-1]] = data
     else:
         from .io.fixtures import synthetic_sequence

@@ -30,6 +30,18 @@ TUNI_SCENES = (
 
 BUFFER_NAMES = ("color", "shading_normal", "world_position", "albedo")
 
+#: Candidate series names for the dataset's 4096-spp reference renders
+#: (README.md:10-12 — the dataset ships them; naming varies by mirror).
+REFERENCE_EXR_CANDIDATES = (
+    "reference", "clean", "ref", "reference/reference", "clean/clean",
+)
+
+#: Candidate locations of the OpenCL implementation's own tone-mapped
+#: outputs (written as outputs/output<N>.png, opencl/bmfr.cpp:53,528).
+OPENCL_PNG_CANDIDATES = (
+    "outputs/output", "opencl_outputs/output", "opencl/output",
+)
+
 
 @dataclass
 class SceneDescriptor:
@@ -92,6 +104,74 @@ class SceneDescriptor:
         out["noisy"] = out.pop("color")
         out["normals"] = out.pop("shading_normal")
         out["positions"] = out.pop("world_position")
+        return out
+
+
+    def find_reference_exr(self):
+        """Series prefix of the scene's clean (4096-spp) EXR renders, or
+        None when the dataset mirror doesn't ship them."""
+        for cand in REFERENCE_EXR_CANDIDATES:
+            if os.path.exists(os.path.join(self.path, f"{cand}0.exr")):
+                return cand
+        return None
+
+    def find_opencl_png(self):
+        """Series prefix of the OpenCL reference implementation's output
+        PNGs (opencl/bmfr.cpp:53,528), or None."""
+        for cand in OPENCL_PNG_CANDIDATES:
+            if os.path.exists(os.path.join(self.path, f"{cand}0.png")):
+                return cand
+        return None
+
+    def load_references(self, frames=None, threads=0):
+        """Load whatever golden references exist for this scene.
+
+        Returns a dict with up to two keys:
+          * ``clean``: f32[T,H,W,3] linear 4096-spp renders (EXR);
+          * ``opencl``: f32[T,H,W,3] in [0,1] — the OpenCL implementation's
+            tone-mapped output PNGs, for the BASELINE "within 0.1 dB of the
+            OpenCL reference" comparison.
+        Missing series are simply absent from the dict.
+        """
+        frames = (list(range(self.frame_count)) if frames is None
+                  else list(frames))
+        threads = threads or (os.cpu_count() or 8)
+        out = {}
+        exr_prefix = self.find_reference_exr()
+        if exr_prefix is not None:
+            base = os.path.join(self.path, exr_prefix)
+            paths = [f"{base}{f}.exr" for f in frames]
+            if native.available():
+                out["clean"] = native.load_frames(
+                    paths, self.width, self.height, 3, threads)
+            else:
+                imgs = np.empty(
+                    (len(frames), self.height, self.width, 3), np.float32)
+
+                def load_one(i):
+                    res, img = read_image_file(
+                        base, frames[i], (self.height, self.width))
+                    if not res:
+                        raise IOError(res.error_message)
+                    imgs[i] = img
+
+                with ThreadPoolExecutor(max_workers=threads) as ex:
+                    list(ex.map(load_one, range(len(frames))))
+                out["clean"] = imgs
+        png_prefix = self.find_opencl_png()
+        if png_prefix is not None:
+            from .png import read_png_rgb01
+
+            base = os.path.join(self.path, png_prefix)
+            imgs = np.empty(
+                (len(frames), self.height, self.width, 3), np.float32)
+
+            def load_png(i):
+                imgs[i] = read_png_rgb01(f"{base}{frames[i]}.png")
+
+            with ThreadPoolExecutor(max_workers=threads) as ex:
+                list(ex.map(load_png, range(len(frames))))
+            out["opencl"] = imgs
         return out
 
 

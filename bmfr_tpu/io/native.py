@@ -45,9 +45,12 @@ def _load():
         if _TRIED:
             return _LIB
         _TRIED = True
+        if os.path.isdir(_NATIVE_DIR):
+            # make no-ops when the .so is current; this also rebuilds a
+            # stale library after source updates (new symbols).
+            _try_build()
         if not os.path.exists(_SO_PATH):
-            if not os.path.isdir(_NATIVE_DIR) or not _try_build():
-                return None
+            return None
         try:
             lib = ctypes.CDLL(_SO_PATH)
         except OSError:
@@ -74,6 +77,14 @@ def _load():
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int, ctypes.c_int, ctypes.c_int]
         lib.bmfr_png_write.restype = ctypes.c_int
+        lib.bmfr_png_probe.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int)]
+        lib.bmfr_png_probe.restype = ctypes.c_int
+        lib.bmfr_png_read.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int, ctypes.c_int]
+        lib.bmfr_png_read.restype = ctypes.c_int
         lib.bmfr_load_frames.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
@@ -134,6 +145,23 @@ def write_png(path: str, img_u8: np.ndarray):
         w, h, c)
     if rc != 0:
         raise IOError(f"{path}: {_err(lib)}")
+
+
+def read_png_rgb01(path: str) -> np.ndarray:
+    """Read a PNG as float32 RGB in [0, 1] — the comparison domain for the
+    OpenCL reference's tone-mapped outputs (opencl/bmfr.cpp:521-547)."""
+    lib = _load()
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    if lib.bmfr_png_probe(path.encode(), w, h) != 0:
+        raise IOError(f"{path}: {_err(lib)}")
+    out = np.empty((h.value, w.value, 3), np.float32)
+    rc = lib.bmfr_png_read(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        w.value, h.value)
+    if rc != 0:
+        raise IOError(f"{path}: {_err(lib)}")
+    return out
 
 
 def load_frames(paths, width, height, channels=3, threads=0) -> np.ndarray:

@@ -157,9 +157,20 @@ def fit_blocks(cfg, tmp_blocks, frame, impl=None):
     Returns (weights ``f32[n_blocks, F, 3]``, mins_maxs
     ``f32[n_blocks, n_scaled, 2]``).
     """
-    impl = impl or cfg.fitter_impl
+    requested = impl or cfg.fitter_impl
+    impl = requested
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if cfg.solver != "householder" and impl == "pallas":
+        # The Pallas kernel implements only the Householder QR; the solver
+        # choice must win over the backend choice (a "cholesky" sweep must
+        # actually measure Cholesky). "auto" silently falls back to XLA;
+        # an explicit pallas+cholesky request is a config error.
+        if requested == "pallas":
+            raise ValueError(
+                f"solver={cfg.solver!r} is not implemented by the Pallas "
+                "fitter; use fitter_impl='xla' or 'auto'")
+        impl = "xla"
     if impl == "pallas":
         try:
             from .fitter_pallas import fit_blocks_pallas

@@ -35,7 +35,12 @@ from jax.experimental.pallas import tpu as pltpu
 from ..rng import feature_noise
 
 DEFAULT_CHUNK = 8
-LANES_OUT = 128  # exported lanes of the reduced system (>= feature_count)
+
+
+def _lanes_out(cfg):
+    """Exported lanes of the reduced system: one VPU lane group, but never
+    more than the block has pixels (block_edge=8 -> 64 pixels < 128)."""
+    return min(128, cfg.block_pixels)
 
 
 def _fitter_kernel(cfg, tmp_ref, noise_ref, w_ref, mm_ref):
@@ -93,7 +98,7 @@ def _fitter_kernel(cfg, tmp_ref, noise_ref, w_ref, mm_ref):
     # in the first F lanes; the (tiny) back substitution
     # (opencl/bmfr.cl:659-699) runs outside the kernel as one batched
     # triangular solve — per-element lane extraction is Mosaic-hostile.
-    w_ref[:] = data[:, :, :LANES_OUT]
+    w_ref[:] = data[:, :, :_lanes_out(cfg)]
 
 
 def fit_blocks_pallas(cfg, tmp_blocks, frame, chunk=DEFAULT_CHUNK):
@@ -118,6 +123,7 @@ def fit_blocks_pallas(cfg, tmp_blocks, frame, chunk=DEFAULT_CHUNK):
 
     grid = (nb_pad // chunk,)
     kernel = functools.partial(_fitter_kernel, cfg)
+    lanes = _lanes_out(cfg)
 
     reduced, mins_maxs = pl.pallas_call(
         kernel,
@@ -129,13 +135,13 @@ def fit_blocks_pallas(cfg, tmp_blocks, frame, chunk=DEFAULT_CHUNK):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((chunk, B, LANES_OUT), lambda i: (i, 0, 0),
+            pl.BlockSpec((chunk, B, lanes), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, n_sc, 2), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nb_pad, B, LANES_OUT), jnp.float32),
+            jax.ShapeDtypeStruct((nb_pad, B, lanes), jnp.float32),
             jax.ShapeDtypeStruct((nb_pad, n_sc, 2), jnp.float32),
         ],
         interpret=jax.default_backend() != "tpu",

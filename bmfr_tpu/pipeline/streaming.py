@@ -108,17 +108,42 @@ def stream_scene(cfg, scene=None, chunk_frames=10, device=None, loader=None,
     return np.concatenate(results, axis=0)
 
 
-def stream_scenes(cfg, scenes, chunk_frames=10, devices=None):
+def stream_scenes(cfg, scenes, chunk_frames=10, devices=None,
+                  per_scene_limits=True):
     """Stream several scenes concurrently, one device per scene
     (round-robin when scenes outnumber devices). Returns a list of
-    per-scene result arrays."""
+    per-scene result arrays.
+
+    Each scene is denoised with its *own* geometry and reprojection discard
+    thresholds from its ``camera_matrices.h`` — the reference bakes these
+    per scene at compile time (opencl/bmfr.cpp:226-227), so applying the
+    first scene's limits everywhere would silently mis-denoise the rest.
+    Scenes with identical configs share one compiled runner.
+    """
     devices = devices or jax.devices()
-    runner = make_chunk_runner(cfg)
+
+    def scene_cfg(sd):
+        c = cfg
+        if getattr(sd, "width", None) and getattr(sd, "height", None):
+            c = c.replace(image_width=sd.width, image_height=sd.height)
+        if per_scene_limits and hasattr(sd, "load_camera"):
+            cam = sd.load_camera()
+            if "position_limit_squared" in cam:
+                c = c.replace(
+                    position_limit_squared=cam["position_limit_squared"],
+                    normal_limit_squared=cam["normal_limit_squared"])
+        return c.validate()
+
+    cfgs = [scene_cfg(sd) for sd in scenes]
+    runners = {}
+    for c in cfgs:
+        if c not in runners:
+            runners[c] = make_chunk_runner(c)
 
     def work(i):
         return stream_scene(
-            cfg, scenes[i], chunk_frames=chunk_frames,
-            device=devices[i % len(devices)], runner=runner)
+            cfgs[i], scenes[i], chunk_frames=chunk_frames,
+            device=devices[i % len(devices)], runner=runners[cfgs[i]])
 
     with ThreadPoolExecutor(max_workers=len(scenes)) as ex:
         return list(ex.map(work, range(len(scenes))))

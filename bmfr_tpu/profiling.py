@@ -66,6 +66,24 @@ def force(tree):
     return float(jnp.sum(leaves[0].astype(jnp.float32)))
 
 
+def timed_force(fn, *args):
+    """Run ``fn(*args)`` and time it with the readback fence.
+
+    This is the benchmark timing primitive: on this stack
+    ``block_until_ready`` may return before execution finishes (see
+    docs/PERF_NOTES.md), so the stop timestamp is taken only after
+    :func:`force` has pulled a checksum of the output back to the host —
+    the moral equivalent of the reference's CL event end timestamp
+    (opencl/bmfr.cpp:497-502).
+
+    Returns ``(seconds, output, checksum)``.
+    """
+    t0 = time.perf_counter()
+    out = fn(*args)
+    checksum = force(out)
+    return time.perf_counter() - t0, out, checksum
+
+
 @dataclass
 class ProfilingInfo:
     """Fixed-label timing series with the reference's report format

@@ -392,26 +392,41 @@ bool decode_exr(const char *path, float *out, int exp_w, int exp_h,
 
   std::vector<uint8_t> raw;
   for (int b = 0; b < nblocks; ++b) {
-    const uint8_t *cp = buf.data() + offsets[b];
-    if (offsets[b] + 8 > buf.size()) {
+    // All chunk metadata is untrusted file content: validate the offset
+    // (overflow-safe), the chunk's y origin (a negative/huge y0 would
+    // write out of bounds below), and the packed size before touching it.
+    if (offsets[b] > buf.size() || buf.size() - offsets[b] < 8) {
       set_error("corrupt EXR chunk offset");
       return false;
     }
+    const uint8_t *cp = buf.data() + offsets[b];
     int32_t y0;
     uint32_t packed;
     std::memcpy(&y0, cp, 4);
     std::memcpy(&packed, cp + 4, 4);
     cp += 8;
-    if ((size_t)(cp - buf.data()) + packed > buf.size()) {
+    if (packed > buf.size() - offsets[b] - 8) {
       set_error("corrupt EXR chunk size");
+      return false;
+    }
+    if (y0 < h.ymin || y0 > h.ymax) {
+      set_error("corrupt EXR chunk y origin");
       return false;
     }
     const int ylo = y0 - h.ymin;
     const int nlines = std::min(lpb, H - ylo);
+    if (nlines <= 0) {
+      set_error("corrupt EXR chunk line count");
+      return false;
+    }
     const size_t unpacked = line_bytes * (size_t)nlines;
 
     const uint8_t *data_ptr;
     if (h.compression == 0 || packed >= unpacked) {
+      if (packed < unpacked) {
+        set_error("truncated raw EXR chunk");
+        return false;
+      }
       data_ptr = cp;  // stored raw
     } else {
       raw.assign(unpacked, 0);
@@ -518,6 +533,169 @@ bool write_png_impl(const char *path, const uint8_t *img, int w, int h,
     set_error("png: short write");
     return false;
   }
+  return true;
+}
+
+// ---------------------------------------------------------------------
+// PNG reader (zlib only). Covers what OpenImageIO-written reference
+// outputs use: 8/16-bit gray/RGB/RGBA, filters 0-4, no interlace/palette.
+// ---------------------------------------------------------------------
+uint32_t rd_u32_be(const uint8_t *p) {
+  return ((uint32_t)p[0] << 24) | ((uint32_t)p[1] << 16) |
+         ((uint32_t)p[2] << 8) | (uint32_t)p[3];
+}
+
+bool png_unfilter(std::vector<uint8_t> &raw, int h, size_t stride, int bpp) {
+  // in place: raw holds h * (1 + stride) filtered bytes; compacts to
+  // h * stride unfiltered bytes at the front.
+  std::vector<uint8_t> prev(stride, 0);
+  for (int y = 0; y < h; ++y) {
+    const uint8_t *src = raw.data() + (size_t)y * (stride + 1);
+    uint8_t ftype = src[0];
+    uint8_t *row = raw.data() + (size_t)y * stride;
+    std::memmove(row, src + 1, stride);
+    switch (ftype) {
+      case 0:
+        break;
+      case 1:  // Sub
+        for (size_t i = bpp; i < stride; ++i) row[i] += row[i - bpp];
+        break;
+      case 2:  // Up
+        for (size_t i = 0; i < stride; ++i) row[i] += prev[i];
+        break;
+      case 3:  // Average
+        for (size_t i = 0; i < stride; ++i) {
+          int left = i >= (size_t)bpp ? row[i - bpp] : 0;
+          row[i] = (uint8_t)(row[i] + ((left + prev[i]) >> 1));
+        }
+        break;
+      case 4:  // Paeth
+        for (size_t i = 0; i < stride; ++i) {
+          int a = i >= (size_t)bpp ? row[i - bpp] : 0;
+          int b = prev[i];
+          int cc = i >= (size_t)bpp ? prev[i - bpp] : 0;
+          int p = a + b - cc;
+          int pa = std::abs(p - a), pb = std::abs(p - b), pc = std::abs(p - cc);
+          int pred = (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : cc);
+          row[i] = (uint8_t)(row[i] + pred);
+        }
+        break;
+      default:
+        set_error("png: unknown filter type");
+        return false;
+    }
+    std::memcpy(prev.data(), row, stride);
+  }
+  return true;
+}
+
+struct PngInfo {
+  int width = 0, height = 0, channels = 0, bitdepth = 0;
+};
+
+bool png_parse(const std::vector<uint8_t> &buf, PngInfo &info,
+               std::vector<uint8_t> &idat) {
+  static const uint8_t sig[8] = {0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A};
+  if (buf.size() < 8 || std::memcmp(buf.data(), sig, 8) != 0) {
+    set_error("png: bad signature");
+    return false;
+  }
+  size_t pos = 8;
+  bool have_ihdr = false;
+  while (pos + 8 <= buf.size()) {
+    uint32_t length = rd_u32_be(buf.data() + pos);
+    const uint8_t *tag = buf.data() + pos + 4;
+    if (length > buf.size() - pos - 8) {
+      set_error("png: truncated chunk");
+      return false;
+    }
+    const uint8_t *data = buf.data() + pos + 8;
+    pos += 12 + (size_t)length;  // length + tag + data + crc
+    if (std::memcmp(tag, "IHDR", 4) == 0) {
+      if (length != 13) {
+        set_error("png: bad IHDR");
+        return false;
+      }
+      info.width = (int)rd_u32_be(data);
+      info.height = (int)rd_u32_be(data + 4);
+      info.bitdepth = data[8];
+      int ctype = data[9];
+      int interlace = data[12];
+      static const int chan_of[7] = {1, -1, 3, -1, 2, -1, 4};
+      info.channels = (ctype >= 0 && ctype <= 6) ? chan_of[ctype] : -1;
+      if (info.channels < 0 || (info.bitdepth != 8 && info.bitdepth != 16) ||
+          interlace != 0 || info.width <= 0 || info.height <= 0 ||
+          info.width > 1 << 20 || info.height > 1 << 20) {
+        set_error("png: unsupported format");
+        return false;
+      }
+      have_ihdr = true;
+    } else if (std::memcmp(tag, "IDAT", 4) == 0) {
+      idat.insert(idat.end(), data, data + length);
+    } else if (std::memcmp(tag, "IEND", 4) == 0) {
+      break;
+    }
+  }
+  if (!have_ihdr || idat.empty()) {
+    set_error("png: missing IHDR/IDAT");
+    return false;
+  }
+  return true;
+}
+
+// Decode a PNG into float32 RGB in [0, 1] (alpha dropped, gray broadcast).
+// out must hold w * h * 3 floats matching the probed size.
+bool read_png_impl(const char *path, float *out, int exp_w, int exp_h) {
+  std::vector<uint8_t> buf;
+  if (!read_file(path, buf)) return false;
+  PngInfo info;
+  std::vector<uint8_t> idat;
+  if (!png_parse(buf, info, idat)) return false;
+  if (info.width != exp_w || info.height != exp_h) {
+    set_error("png: unexpected size");
+    return false;
+  }
+  const int bpp = info.channels * (info.bitdepth / 8);
+  const size_t stride = (size_t)info.width * bpp;
+  std::vector<uint8_t> raw((stride + 1) * (size_t)info.height);
+  if (!zlib_inflate(idat.data(), idat.size(), raw)) return false;
+  if (!png_unfilter(raw, info.height, stride, bpp)) return false;
+
+  const float maxv = info.bitdepth == 16 ? 65535.0f : 255.0f;
+  const int in_c = info.channels;
+  const int color_c = in_c >= 3 ? 3 : 1;  // gray / gray+alpha broadcast
+  for (int y = 0; y < info.height; ++y) {
+    const uint8_t *row = raw.data() + (size_t)y * stride;
+    for (int x = 0; x < info.width; ++x) {
+      float rgb[3];
+      for (int c = 0; c < 3; ++c) {
+        int sc = c < color_c ? c : 0;
+        float v;
+        if (info.bitdepth == 16) {
+          const uint8_t *p = row + ((size_t)x * in_c + sc) * 2;
+          v = (float)(((uint16_t)p[0] << 8) | p[1]);  // PNG is big-endian
+        } else {
+          v = (float)row[(size_t)x * in_c + sc];
+        }
+        rgb[c] = v / maxv;
+      }
+      float *op = out + ((size_t)y * info.width + x) * 3;
+      op[0] = rgb[0];
+      op[1] = rgb[1];
+      op[2] = rgb[2];
+    }
+  }
+  return true;
+}
+
+bool probe_png_impl(const char *path, int *w, int *h) {
+  std::vector<uint8_t> buf;
+  if (!read_file(path, buf)) return false;
+  PngInfo info;
+  std::vector<uint8_t> idat;
+  if (!png_parse(buf, info, idat)) return false;
+  *w = info.width;
+  *h = info.height;
   return true;
 }
 
@@ -732,6 +910,15 @@ int bmfr_png_write(const char *path, const uint8_t *img, int w, int h,
   return write_png_impl(path, img, w, h, c) ? 0 : 1;
 }
 
+int bmfr_png_probe(const char *path, int *w, int *h) {
+  return probe_png_impl(path, w, h) ? 0 : 1;
+}
+
+// out: w*h*3 float32, RGB in [0,1] (alpha dropped, gray broadcast).
+int bmfr_png_read(const char *path, float *out, int w, int h) {
+  return read_png_impl(path, out, w, h) ? 0 : 1;
+}
+
 // Threaded batch loader: the OpenMP-parallel-for equivalent
 // (opencl/bmfr.cpp:259-307). Returns 0 if every file decoded.
 int bmfr_load_frames(const char **paths, int n, float *out, int w, int h,
@@ -740,9 +927,11 @@ int bmfr_load_frames(const char **paths, int n, float *out, int w, int h,
   if (threads > n) threads = n > 0 ? n : 1;
   std::atomic<int> next(0);
   std::atomic<int> errors(0);
-  static std::mutex err_mu;
-  static std::string first_error;
-  first_error.clear();
+  // Per-call locals (captured by reference below): concurrent invocations
+  // from parallel Python threads (ctypes releases the GIL) must not share
+  // error state.
+  std::mutex err_mu;
+  std::string first_error;
   const size_t frame_elems = (size_t)w * h * c;
 
   auto worker = [&]() {

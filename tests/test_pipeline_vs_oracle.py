@@ -132,6 +132,19 @@ def test_temporal_history_actually_used(traces):
     assert (np.asarray(j[1]["accept"]) == 0).mean() > 0.001
 
 
+@pytest.mark.parametrize("t", [0, 1, 2])
+def test_whole_image_psnr_vs_oracle(traces, t):
+    """Unmasked whole-image bound (VERDICT weak #8): the per-pixel tests
+    above exclude FMA-borderline accept flips; this bounds the *downstream*
+    damage of any flipped bit over the entire frame — no exclusions."""
+    from bmfr_tpu.metrics import psnr
+
+    o, j = traces
+    for key in ("result", "tone"):
+        val = psnr(_hwc(j[t][key]), np.asarray(o[t][key], np.float32))
+        assert val >= 60.0, f"frame {t} {key}: {val:.2f} dB vs oracle"
+
+
 def test_tmp_blocks_match_oracle(tiny_cfg, tiny_scene):
     """The jittered/mirrored block layout must equal the oracle's literal
     margins-grid scatter (opencl/bmfr.cl:455-476) exactly."""

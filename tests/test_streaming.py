@@ -54,6 +54,35 @@ def test_multi_scene_streaming(tiny_cfg, scene_and_reference):
         np.testing.assert_allclose(o, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_multi_scene_streaming_uses_per_scene_limits(tiny_cfg,
+                                                     scene_and_reference):
+    """Each scene must be denoised with its own camera_matrices.h discard
+    thresholds (the reference bakes them per scene, opencl/bmfr.cpp:226-227;
+    ADVICE medium #2: round 1 applied the first scene's limits to all)."""
+    sc, ref = scene_and_reference
+
+    class FakeScene:
+        frame_count = 5
+        width, height = 64, 48
+
+        def __init__(self, pos_lim):
+            self.pos_lim = pos_lim
+
+        def load_camera(self):
+            return dict(position_limit_squared=self.pos_lim,
+                        normal_limit_squared=0.5)
+
+        def load_frames(self, frames):
+            return _loader(sc)(frames)
+
+    # scene A uses the reference limits -> matches ref; scene B uses a
+    # drastically different limit -> must diverge (proves per-scene cfg)
+    outs = stream_scenes(
+        tiny_cfg, [FakeScene(0.03), FakeScene(1e-8)], chunk_frames=3)
+    np.testing.assert_allclose(outs[0], ref, rtol=1e-5, atol=1e-5)
+    assert np.abs(outs[1] - ref).max() > 1e-3
+
+
 def test_checkpoint_resume(tiny_cfg, scene_and_reference, tmp_path):
     sc, ref = scene_and_reference
     cfg = tiny_cfg
