@@ -1,10 +1,10 @@
 """Pure-Python scanline EXR reader (fallback + independent cross-check).
 
 Supports what the BMFR datasets need: single-part scanline files, NONE /
-ZIPS / ZIP compression, HALF and FLOAT channels. Written against the
-OpenEXR file-format spec independently of the C++ implementation in
-``native/bmfr_io.cpp`` so the two act as cross-checks for each other
-(the environment ships no third-party EXR decoder).
+RLE / ZIPS / ZIP / PIZ / PXR24 compression, HALF and FLOAT channels.
+Written against the OpenEXR file-format spec independently of the C++
+implementation in ``native/bmfr_io.cpp`` so the two act as cross-checks
+for each other (the environment ships no third-party EXR decoder).
 """
 
 from __future__ import annotations
@@ -79,6 +79,159 @@ def _unfilter(data: bytes) -> bytes:
     return out.tobytes()
 
 
+def _unfilter_pxr24(data: bytes) -> np.ndarray:
+    """PXR24 predictor: plain running sum over the whole buffer (no
+    ZIP-style two-half interleave)."""
+    arr = np.frombuffer(data, np.uint8).astype(np.int64)
+    if arr.size:
+        arr = np.cumsum(arr - 128) + 128
+    return (arr % 256).astype(np.uint8)
+
+
+def _decode_pxr24(chunk: bytes, channels, W: int, nlines: int) -> bytes:
+    """PXR24 chunk -> the standard per-line-per-channel raw layout.
+
+    FLOAT channels are stored as 3 MSB-first byte planes of a 24-bit
+    float (f32 with the low 8 mantissa bits dropped; decode is exact:
+    shift left 8). HALF channels as 2 byte planes."""
+    raw = _unfilter_pxr24(zlib.decompress(chunk))
+    out = bytearray()
+    p = 0
+    for _ in range(nlines):
+        for cn, ptype in channels:
+            if ptype == 1:  # HALF: 2 planes
+                hi = raw[p : p + W].astype(np.uint16)
+                lo = raw[p + W : p + 2 * W].astype(np.uint16)
+                p += 2 * W
+                out += ((hi << 8) | lo).astype("<u2").tobytes()
+            elif ptype == 2:  # FLOAT: 3 planes of the top 24 bits
+                b0 = raw[p : p + W].astype(np.uint32)
+                b1 = raw[p + W : p + 2 * W].astype(np.uint32)
+                b2 = raw[p + 2 * W : p + 3 * W].astype(np.uint32)
+                p += 3 * W
+                u = ((b0 << 24) | (b1 << 16) | (b2 << 8)).astype("<u4")
+                out += u.tobytes()
+            else:
+                raise IOError("UINT EXR channels not supported")
+    return bytes(out)
+
+
+def _decode_piz(chunk: bytes, channels, W: int, nlines: int) -> bytes:
+    """PIZ chunk -> the standard per-line-per-channel raw layout."""
+    from . import piz
+
+    shapes = []
+    for cn, ptype in channels:
+        size = 2 if ptype == 2 else 1
+        shapes.append((nlines, W, size))
+    bufs = piz.piz_uncompress(chunk, shapes)
+    out = bytearray()
+    for line in range(nlines):
+        for (cn, ptype), buf in zip(channels, bufs):
+            out += buf[line].astype("<u2").tobytes()
+    return bytes(out)
+
+
+def write_exr_py(path: str, img_hwc: np.ndarray, half: bool = True,
+                 compression: str = "piz"):
+    """Minimal scanline EXR writer for PIZ / PXR24 files (fixtures and
+    round-trip tests; the native writer covers NONE/RLE/ZIPS/ZIP).
+
+    Channels are written B, G, R (EXR requires alphabetical order), same
+    as the native writer (native/bmfr_io.cpp:742-756)."""
+    from . import piz as piz_mod
+
+    comp_id = {"piz": 4, "pxr24": 5}[compression]
+    lpb = {4: 32, 5: 16}[comp_id]
+    img = np.asarray(img_hwc, np.float32)
+    H, W, C = img.shape
+    if C != 3:
+        raise ValueError("write_exr_py: only 3 channels supported")
+
+    out = bytearray()
+    out += struct.pack("<II", _MAGIC, 2)
+
+    def attr(name, typ, data):
+        out.extend(name.encode() + b"\0" + typ.encode() + b"\0")
+        out.extend(struct.pack("<I", len(data)))
+        out.extend(data)
+
+    chl = bytearray()
+    for cn in ("B", "G", "R"):
+        chl += cn.encode() + b"\0"
+        chl += struct.pack("<iBBBBii", 1 if half else 2, 0, 0, 0, 0, 1, 1)
+    chl += b"\0"
+    attr("channels", "chlist", bytes(chl))
+    attr("compression", "compression", bytes([comp_id]))
+    dw = struct.pack("<iiii", 0, 0, W - 1, H - 1)
+    attr("dataWindow", "box2i", dw)
+    attr("displayWindow", "box2i", dw)
+    attr("lineOrder", "lineOrder", b"\0")
+    attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
+    attr("screenWindowCenter", "v2f", struct.pack("<ff", 0.0, 0.0))
+    attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+    out += b"\0"
+
+    nblocks = (H + lpb - 1) // lpb
+    table_pos = len(out)
+    out += b"\0" * (8 * nblocks)
+
+    src = img[:, :, ::-1]  # B, G, R file order
+    offsets = []
+    for b in range(nblocks):
+        offsets.append(len(out))
+        ylo = b * lpb
+        nlines = min(lpb, H - ylo)
+        rows = src[ylo : ylo + nlines]  # [nlines, W, 3]
+        if comp_id == 4:
+            chans = []
+            for c in range(3):
+                if half:
+                    buf16 = rows[:, :, c].astype(np.float16).view(np.uint16)
+                    chans.append((np.ascontiguousarray(buf16), 1))
+                else:
+                    buf16 = np.ascontiguousarray(
+                        rows[:, :, c]).view(np.uint16).reshape(nlines, 2 * W)
+                    chans.append((buf16, 2))
+            payload = piz_mod.piz_compress(chans)
+        else:  # PXR24
+            planes = bytearray()
+            for line in range(nlines):
+                for c in range(3):
+                    v = rows[line, :, c]
+                    if half:
+                        h16 = v.astype(np.float16).view(np.uint16)
+                        planes += (h16 >> 8).astype(np.uint8).tobytes()
+                        planes += (h16 & 0xFF).astype(np.uint8).tobytes()
+                    else:
+                        u = v.view(np.uint32) >> 8  # truncate to float24
+                        planes += (u >> 16).astype(np.uint8).tobytes()
+                        planes += ((u >> 8) & 0xFF).astype(np.uint8).tobytes()
+                        planes += (u & 0xFF).astype(np.uint8).tobytes()
+            arr = np.frombuffer(bytes(planes), np.uint8).astype(np.int64)
+            d = np.empty_like(arr)
+            d[0] = arr[0]
+            d[1:] = arr[1:] - arr[:-1] + 128
+            payload = zlib.compress((d % 256).astype(np.uint8).tobytes())
+        raw_size = (2 if half else 4) * W * 3 * nlines
+        if len(payload) >= raw_size:
+            # store raw (decoder takes the packed >= unpacked path)
+            payload = bytearray()
+            for line in range(nlines):
+                for c in range(3):
+                    v = rows[line, :, c]
+                    payload += (v.astype(np.float16).view("<u2").tobytes()
+                                if half else v.astype("<f4").tobytes())
+            payload = bytes(payload)
+        out += struct.pack("<iI", ylo, len(payload))
+        out += payload
+    for b, off in enumerate(offsets):
+        out[table_pos + 8 * b : table_pos + 8 * (b + 1)] = struct.pack(
+            "<Q", off)
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
 def read_exr_py(path: str) -> np.ndarray:
     with open(path, "rb") as f:
         buf = f.read()
@@ -115,7 +268,7 @@ def read_exr_py(path: str) -> np.ndarray:
 
     W = dw[2] - dw[0] + 1
     H = dw[3] - dw[1] + 1
-    lpb = {0: 1, 1: 1, 2: 1, 3: 16}.get(compression)
+    lpb = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32, 5: 16}.get(compression)
     if lpb is None:
         raise IOError(f"{path}: unsupported compression {compression}")
 
@@ -139,6 +292,10 @@ def read_exr_py(path: str) -> np.ndarray:
             raw = chunk
         elif compression == 1:
             raw = _unfilter(_rle_decompress(chunk, raw_size))
+        elif compression == 4:
+            raw = _decode_piz(chunk, channels, W, nlines)
+        elif compression == 5:
+            raw = _decode_pxr24(chunk, channels, W, nlines)
         else:
             raw = _unfilter(zlib.decompress(chunk))
         p = 0

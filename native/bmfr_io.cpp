@@ -268,8 +268,416 @@ int lines_per_block(uint8_t compression) {
     case 1: return 1;   // RLE
     case 2: return 1;   // ZIPS
     case 3: return 16;  // ZIP
+    case 4: return 32;  // PIZ
+    case 5: return 16;  // PXR24
     default: return -1;
   }
+}
+
+// ---------------------------------------------------------------------
+// PIZ decompression (wavelet + Huffman), written from the OpenEXR file
+// format spec; independently cross-checked against the pure-Python codec
+// in bmfr_tpu/io/piz.py. The reference reads PIZ via OpenImageIO
+// (/root/reference/opencl/bmfr.cpp:145-163).
+// ---------------------------------------------------------------------
+
+inline void wdec14(uint16_t l, uint16_t h, uint16_t &a, uint16_t &b) {
+  int16_t ls = (int16_t)l, hs = (int16_t)h;
+  int hi = hs;
+  int ai = ls + (hi & 1) + (hi >> 1);
+  int16_t as = (int16_t)ai;
+  int16_t bs = (int16_t)(as - hi);
+  a = (uint16_t)as;
+  b = (uint16_t)bs;
+}
+
+inline void wdec16(uint16_t l, uint16_t h, uint16_t &a, uint16_t &b) {
+  int m = l, d = h;
+  int bb = (m - (d >> 1)) & 0xffff;
+  int aa = (d + bb - 0x8000) & 0xffff;
+  b = (uint16_t)bb;
+  a = (uint16_t)aa;
+}
+
+// 2-D hierarchical wavelet decode on a strided uint16 plane.
+void wav2_decode_u16(uint16_t *in, int nx, int ox, int ny, int oy,
+                     uint16_t mx) {
+  const bool w14 = mx < (1 << 14);
+  int n = nx < ny ? nx : ny;
+  int p = 1, p2;
+  while (p <= n) p <<= 1;
+  p >>= 1;
+  p2 = p;
+  p >>= 1;
+  while (p >= 1) {
+    uint16_t *py = in;
+    uint16_t *ey = in + (ptrdiff_t)oy * (ny - p2);
+    const ptrdiff_t oy1 = (ptrdiff_t)oy * p, oy2 = (ptrdiff_t)oy * p2;
+    const ptrdiff_t ox1 = (ptrdiff_t)ox * p, ox2 = (ptrdiff_t)ox * p2;
+    uint16_t i00, i01, i10, i11;
+    for (; py <= ey; py += oy2) {
+      uint16_t *px = py;
+      uint16_t *ex = py + (ptrdiff_t)ox * (nx - p2);
+      for (; px <= ex; px += ox2) {
+        uint16_t *q01 = px + ox1;
+        uint16_t *q10 = px + oy1;
+        uint16_t *q11 = q10 + ox1;
+        if (w14) {
+          wdec14(*px, *q10, i00, i10);
+          wdec14(*q01, *q11, i01, i11);
+          wdec14(i00, i01, *px, *q01);
+          wdec14(i10, i11, *q10, *q11);
+        } else {
+          wdec16(*px, *q10, i00, i10);
+          wdec16(*q01, *q11, i01, i11);
+          wdec16(i00, i01, *px, *q01);
+          wdec16(i10, i11, *q10, *q11);
+        }
+      }
+      if (nx & p) {  // odd remainder column: vertical pairs
+        uint16_t *q10 = px + oy1;
+        if (w14) wdec14(*px, *q10, i00, *q10);
+        else wdec16(*px, *q10, i00, *q10);
+        *px = i00;
+      }
+    }
+    if (ny & p) {  // odd remainder row: horizontal pairs
+      uint16_t *px = py;
+      uint16_t *ex = py + (ptrdiff_t)ox * (nx - p2);
+      for (; px <= ex; px += ox2) {
+        uint16_t *q01 = px + ox1;
+        if (w14) wdec14(*px, *q01, i00, *q01);
+        else wdec16(*px, *q01, i00, *q01);
+        *px = i00;
+      }
+    }
+    p2 = p;
+    p >>= 1;
+  }
+}
+
+// Huffman: canonical codes <= 58 bits; code lengths packed as 6-bit
+// fields with zero-run escapes; run-length pseudo-symbol == iM followed
+// by an 8-bit repeat count; bits MSB-first.
+struct PizBitReader {
+  const uint8_t *p, *end;
+  uint64_t acc = 0;
+  int n = 0;
+  bool fail = false;
+  PizBitReader(const uint8_t *p_, const uint8_t *e) : p(p_), end(e) {}
+  uint32_t get(int nbits) {  // nbits <= 32
+    while (n < nbits) {
+      if (p >= end) {
+        fail = true;
+        return 0;
+      }
+      acc = (acc << 8) | *p++;
+      n += 8;
+    }
+    n -= nbits;
+    uint32_t v = (uint32_t)((acc >> n) & ((nbits == 32 ? 0xffffffffull
+                                                       : (1ull << nbits) - 1)));
+    acc &= n ? ((1ull << n) - 1) : 0;
+    return v;
+  }
+};
+
+const int PIZ_HUF_ENCSIZE = (1 << 16) + 1;
+const int PIZ_SHORT_ZEROCODE_RUN = 59;
+const int PIZ_LONG_ZEROCODE_RUN = 63;
+const int PIZ_SHORTEST_LONG_RUN = 2 + PIZ_LONG_ZEROCODE_RUN -
+                                  PIZ_SHORT_ZEROCODE_RUN;  // 6
+
+bool piz_unpack_lengths(PizBitReader &r, uint32_t im, uint32_t iM,
+                        std::vector<uint8_t> &len) {
+  len.assign(PIZ_HUF_ENCSIZE, 0);
+  uint32_t i = im;
+  while (i <= iM) {
+    uint32_t l = r.get(6);
+    if (r.fail) break;
+    if (l == (uint32_t)PIZ_LONG_ZEROCODE_RUN) {
+      i += r.get(8) + PIZ_SHORTEST_LONG_RUN;
+    } else if (l >= (uint32_t)PIZ_SHORT_ZEROCODE_RUN) {
+      i += l - PIZ_SHORT_ZEROCODE_RUN + 2;
+    } else {
+      len[i++] = (uint8_t)l;
+    }
+  }
+  if (r.fail || i != iM + 1) {
+    set_error("corrupt PIZ huffman table");
+    return false;
+  }
+  return true;
+}
+
+bool piz_huf_decompress(const uint8_t *src, size_t nsrc, uint16_t *out,
+                        size_t n_out) {
+  if (n_out == 0) return true;
+  if (nsrc < 20) {
+    set_error("corrupt PIZ huffman header");
+    return false;
+  }
+  uint32_t im, iM, nbits;
+  std::memcpy(&im, src, 4);
+  std::memcpy(&iM, src + 4, 4);
+  std::memcpy(&nbits, src + 12, 4);
+  if (im >= PIZ_HUF_ENCSIZE || iM >= PIZ_HUF_ENCSIZE || im > iM) {
+    set_error("corrupt PIZ huffman header");
+    return false;
+  }
+  PizBitReader tr(src + 20, src + nsrc);
+  std::vector<uint8_t> len;
+  if (!piz_unpack_lengths(tr, im, iM, len)) return false;
+
+  // canonical code assignment (counts per length; first code per length
+  // computed longest-to-shortest; increasing symbol order within length)
+  uint64_t cnt[59] = {0};
+  for (int s = 0; s < PIZ_HUF_ENCSIZE; ++s) cnt[len[s]]++;
+  cnt[0] = 0;
+  uint64_t first[59] = {0};
+  uint64_t c = 0;
+  for (int i = 58; i > 0; --i) {
+    uint64_t nc = (c + cnt[i]) >> 1;
+    first[i] = c;
+    c = nc;
+  }
+  std::vector<uint64_t> code(PIZ_HUF_ENCSIZE, 0);
+  {
+    uint64_t nxt[59];
+    std::memcpy(nxt, first, sizeof(nxt));
+    for (int s = 0; s < PIZ_HUF_ENCSIZE; ++s)
+      if (len[s]) code[s] = nxt[len[s]]++;
+  }
+
+  // 14-bit direct decode table; longer codes resolved canonically
+  const int DEC = 14;
+  std::vector<int32_t> tsym((size_t)1 << DEC, -1);
+  std::vector<uint8_t> tlen((size_t)1 << DEC, 0);
+  // per-length symbol lists for the long path
+  std::vector<std::vector<uint32_t>> lsyms(59);
+  for (int s = 0; s < PIZ_HUF_ENCSIZE; ++s) {
+    int l = len[s];
+    if (!l) continue;
+    if (l <= DEC) {
+      uint64_t base = code[s] << (DEC - l);
+      uint64_t span = 1ull << (DEC - l);
+      for (uint64_t k = 0; k < span; ++k) {
+        tsym[base + k] = s;
+        tlen[base + k] = (uint8_t)l;
+      }
+    } else {
+      lsyms[l].push_back((uint32_t)s);
+    }
+  }
+
+  const uint32_t rlc = iM;
+  // leftover partial-byte table bits are discarded: the bit stream
+  // restarts at the next whole byte
+  const uint8_t *p = tr.p;
+  const uint8_t *end = src + nsrc;
+  unsigned __int128 acc = 0;
+  int nacc = 0;
+  size_t oi = 0;
+  uint64_t consumed = 0;
+  while (oi < n_out && consumed < nbits) {
+    while (nacc < DEC && p < end) {
+      acc = (acc << 8) | *p++;
+      nacc += 8;
+    }
+    uint32_t peek;
+    if (nacc >= DEC)
+      peek = (uint32_t)((acc >> (nacc - DEC)) & ((1u << DEC) - 1));
+    else
+      peek = (uint32_t)((acc << (DEC - nacc)) & ((1u << DEC) - 1));
+    int32_t s = tsym[peek];
+    int l;
+    if (s >= 0) {
+      l = tlen[peek];
+    } else {
+      // long code: extend canonically past DEC bits
+      l = DEC + 1;
+      s = -1;
+      while (l <= 58) {
+        while (nacc < l && p < end) {
+          acc = (acc << 8) | *p++;
+          nacc += 8;
+        }
+        if (nacc < l) break;
+        uint64_t cc = (uint64_t)((acc >> (nacc - l)) &
+                                 (((unsigned __int128)1 << l) - 1));
+        // canonical: codes of length l occupy [first[l], first[l]+cnt[l]),
+        // assigned to lsyms[l] (all length-l symbols) in symbol order
+        if (!lsyms[l].empty() && cc >= first[l] &&
+            cc - first[l] < lsyms[l].size()) {
+          s = (int32_t)lsyms[l][cc - first[l]];
+          break;
+        }
+        ++l;
+      }
+      if (s < 0) {
+        set_error("corrupt PIZ huffman data");
+        return false;
+      }
+    }
+    if (nacc < l) {
+      set_error("corrupt PIZ huffman data");
+      return false;
+    }
+    nacc -= l;
+    acc &= nacc ? (((unsigned __int128)1 << nacc) - 1) : 0;
+    consumed += l;
+    if ((uint32_t)s == rlc) {
+      while (nacc < 8 && p < end) {
+        acc = (acc << 8) | *p++;
+        nacc += 8;
+      }
+      if (nacc < 8) {
+        set_error("corrupt PIZ huffman data");
+        return false;
+      }
+      nacc -= 8;
+      uint32_t rep = (uint32_t)((acc >> nacc) & 0xff);
+      acc &= nacc ? (((unsigned __int128)1 << nacc) - 1) : 0;
+      consumed += 8;
+      if (oi == 0 || oi + rep > n_out) {
+        set_error("corrupt PIZ run length");
+        return false;
+      }
+      uint16_t v = out[oi - 1];
+      for (uint32_t k = 0; k < rep; ++k) out[oi++] = v;
+    } else {
+      out[oi++] = (uint16_t)s;
+    }
+  }
+  if (oi != n_out) {
+    set_error("truncated PIZ huffman data");
+    return false;
+  }
+  return true;
+}
+
+// Full PIZ chunk -> standard per-line-per-channel raw layout.
+bool piz_uncompress_chunk(const uint8_t *cp, size_t packed,
+                          const std::vector<int> &chan_bytes, int W,
+                          int nlines, std::vector<uint8_t> &raw) {
+  if (packed < 4) {
+    set_error("corrupt PIZ chunk");
+    return false;
+  }
+  uint16_t min_nz, max_nz;
+  std::memcpy(&min_nz, cp, 2);
+  std::memcpy(&max_nz, cp + 2, 2);
+  size_t pos = 4;
+  std::vector<uint8_t> bitmap((1 << 16) >> 3, 0);
+  if (min_nz <= max_nz) {
+    size_t nb = (size_t)max_nz - min_nz + 1;
+    if (max_nz >= bitmap.size() || pos + nb > packed) {
+      set_error("corrupt PIZ bitmap");
+      return false;
+    }
+    std::memcpy(bitmap.data() + min_nz, cp + pos, nb);
+    pos += nb;
+  }
+  // reverse LUT (zero is always index 0)
+  std::vector<uint16_t> lut(1 << 16, 0);
+  uint32_t k = 0;
+  for (uint32_t d = 0; d < (1u << 16); ++d)
+    if (d == 0 || (bitmap[d >> 3] & (1 << (d & 7)))) lut[k++] = (uint16_t)d;
+  uint16_t max_value = (uint16_t)(k - 1);
+
+  if (pos + 4 > packed) {
+    set_error("corrupt PIZ chunk");
+    return false;
+  }
+  int32_t huf_len;
+  std::memcpy(&huf_len, cp + pos, 4);
+  pos += 4;
+  if (huf_len < 0 || pos + (size_t)huf_len > packed) {
+    set_error("corrupt PIZ chunk length");
+    return false;
+  }
+
+  const int nch = (int)chan_bytes.size();
+  size_t total = 0;
+  std::vector<size_t> chan_ushorts(nch);
+  for (int c2 = 0; c2 < nch; ++c2) {
+    chan_ushorts[c2] = (size_t)W * (chan_bytes[c2] / 2) * nlines;
+    total += chan_ushorts[c2];
+  }
+  std::vector<uint16_t> data(total);
+  if (!piz_huf_decompress(cp + pos, huf_len, data.data(), total))
+    return false;
+
+  // wavelet decode per channel (FLOAT channels: two interleaved planes)
+  size_t off = 0;
+  for (int c2 = 0; c2 < nch; ++c2) {
+    int size = chan_bytes[c2] / 2;
+    for (int j = 0; j < size; ++j)
+      wav2_decode_u16(data.data() + off + j, W, size, nlines,
+                      W * size, max_value);
+    off += chan_ushorts[c2];
+  }
+  for (size_t i = 0; i < total; ++i) data[i] = lut[data[i]];
+
+  // reassemble scanline layout
+  size_t line_bytes = 0;
+  for (int c2 = 0; c2 < nch; ++c2) line_bytes += (size_t)chan_bytes[c2] * W;
+  raw.resize(line_bytes * nlines);
+  uint8_t *rp = raw.data();
+  for (int l = 0; l < nlines; ++l) {
+    size_t chan_off = 0;
+    for (int c2 = 0; c2 < nch; ++c2) {
+      size_t row_ushorts = (size_t)W * (chan_bytes[c2] / 2);
+      const uint16_t *srcp = data.data() + chan_off + (size_t)l * row_ushorts;
+      std::memcpy(rp, srcp, row_ushorts * 2);
+      rp += row_ushorts * 2;
+      chan_off += chan_ushorts[c2];
+    }
+  }
+  return true;
+}
+
+// PXR24 chunk -> standard raw layout. FLOAT channels are stored as three
+// MSB-first byte planes of the float's top 24 bits (decode is exact);
+// HALF as two byte planes; the whole buffer is delta-coded then zlib'd.
+bool pxr24_uncompress_chunk(const uint8_t *cp, size_t packed,
+                            const std::vector<int> &chan_types, int W,
+                            int nlines, std::vector<uint8_t> &raw) {
+  size_t tmp_line = 0;
+  for (int t : chan_types) tmp_line += (size_t)W * (t == 2 ? 3 : 2);
+  std::vector<uint8_t> tmp(tmp_line * nlines);
+  if (!zlib_inflate(cp, packed, tmp)) return false;
+  for (size_t i = 1; i < tmp.size(); ++i)
+    tmp[i] = (uint8_t)((int)tmp[i - 1] + (int)tmp[i] - 128);
+
+  size_t line_bytes = 0;
+  for (int t : chan_types) line_bytes += (size_t)W * (t == 2 ? 4 : 2);
+  raw.resize(line_bytes * nlines);
+  const uint8_t *sp = tmp.data();
+  uint8_t *rp = raw.data();
+  for (int l = 0; l < nlines; ++l) {
+    for (int t : chan_types) {
+      if (t == 2) {  // FLOAT
+        const uint8_t *b0 = sp, *b1 = sp + W, *b2 = sp + 2 * (size_t)W;
+        sp += 3 * (size_t)W;
+        for (int x = 0; x < W; ++x) {
+          uint32_t u = ((uint32_t)b0[x] << 24) | ((uint32_t)b1[x] << 16) |
+                       ((uint32_t)b2[x] << 8);
+          std::memcpy(rp, &u, 4);
+          rp += 4;
+        }
+      } else {  // HALF
+        const uint8_t *hi = sp, *lo = sp + W;
+        sp += 2 * (size_t)W;
+        for (int x = 0; x < W; ++x) {
+          uint16_t u = (uint16_t)(((uint16_t)hi[x] << 8) | lo[x]);
+          std::memcpy(rp, &u, 2);
+          rp += 2;
+        }
+      }
+    }
+  }
+  return true;
 }
 
 // EXR RLE codec (ImfRle.cpp semantics): signed count byte; negative =
@@ -428,6 +836,16 @@ bool decode_exr(const char *path, float *out, int exp_w, int exp_h,
         return false;
       }
       data_ptr = cp;  // stored raw
+    } else if (h.compression == 4) {
+      if (!piz_uncompress_chunk(cp, packed, chan_bytes, W, nlines, raw))
+        return false;
+      data_ptr = raw.data();
+    } else if (h.compression == 5) {
+      std::vector<int> chan_types(nch);
+      for (int c = 0; c < nch; ++c) chan_types[c] = h.channels[c].pixel_type;
+      if (!pxr24_uncompress_chunk(cp, packed, chan_types, W, nlines, raw))
+        return false;
+      data_ptr = raw.data();
     } else {
       raw.assign(unpacked, 0);
       if (h.compression == 1) {
