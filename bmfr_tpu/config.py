@@ -99,8 +99,12 @@ class BMFRConfig:
     #: "float32" = exact, one gather per tap (4 gather ops);
     #: "packed_bf16" = two bf16 channels per 32-bit lane;
     #: "packed_x_bf16" = each gather fetches a horizontal bf16 tap pair —
-    #: 2 gather ops total, the measured optimum on TPU (~0.4% relative
-    #: rounding on gathered history, far below the fidelity budget).
+    #: 2 gather ops total (~0.4% relative rounding on gathered history,
+    #: far below the fidelity budget);
+    #: "pallas" = the fused window-warp kernel (ops/warp_pallas.py) —
+    #: same packed-bf16 values as packed_x_bf16, bit-identical to it, at
+    #: a fraction of the gather cost; falls back to the XLA gather for
+    #: frames whose motion exceeds the kernel's window.
     warp_mode: str = "float32"
 
     # --- stage-bypass debug flags ---
@@ -188,7 +192,7 @@ class BMFRConfig:
         if self.fitter_impl not in ("auto", "xla", "pallas"):
             raise ValueError(f"bad fitter_impl: {self.fitter_impl}")
         if self.warp_mode not in ("float32", "packed_bf16",
-                                  "packed_x_bf16"):
+                                  "packed_x_bf16", "pallas"):
             raise ValueError(f"bad warp_mode: {self.warp_mode}")
         if self.features_not_scaled[:1] != ("const",):
             # The QR noise is never applied to column 0, which the reference

@@ -17,10 +17,14 @@ Semantics follow opencl/bmfr.cl:490-700 exactly like the XLA path (scale at
 substitution at :659-699); equivalence against the XLA path and the literal
 oracle is tested in ``tests/test_fitter_pallas.py``.
 
-Note: with reduced-precision storage (``tmp_data_dtype != float32``) the
-reference rounds between every reflection; this kernel computes the QR in
-f32 throughout (inputs are still read in the storage dtype). The difference
-is below the fidelity budget and is covered by the precision-sweep tests.
+With reduced-precision storage (``tmp_data_dtype != float32``) the
+reference re-rounds ``tmp_data`` between every Householder reflection
+(the half-precision STOREs inside the QR loop, opencl/bmfr.cl:255-265,
+:560, :653). This kernel reproduces those rounding points: bf16 storage
+uses a native downcast; f16 storage uses :func:`round_to_f16` — a
+bit-exact manual round-to-nearest-even emulation (Mosaic has no f16
+vector type), validated against ``astype(float16)`` in
+``tests/test_fitter_pallas.py``.
 """
 
 from __future__ import annotations
@@ -35,6 +39,48 @@ from jax.experimental.pallas import tpu as pltpu
 from ..rng import feature_noise
 
 DEFAULT_CHUNK = 8
+
+
+def round_to_f16(x):
+    """Round f32 values to the nearest f16-representable value (RNE),
+    returning f32 — bit-identical to ``x.astype(f16).astype(f32)``.
+
+    Normal range uses the classic mantissa-mask trick (add half-ulp plus
+    the round-to-even bit, clear the dropped 13 bits; the carry into the
+    exponent handles binade boundaries). Subnormal f16 range rounds on
+    the fixed 2^-24 grid via the add-magic-constant trick. Overflow goes
+    to inf like a half store does; NaN/inf pass through.
+    """
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    sign = bits & jnp.uint32(0x80000000)
+    absb = bits & jnp.uint32(0x7FFFFFFF)
+    exp = absb >> 23
+
+    # normal f16 range (|x| >= 2^-14 <-> f32 exponent >= 113)
+    lsb = (absb >> 13) & 1
+    rn = (absb + jnp.uint32(0xFFF) + lsb) & ~jnp.uint32(0x1FFF)
+    rn = jnp.where(rn > jnp.uint32(0x477FE000),
+                   jnp.uint32(0x7F800000), rn)   # > 65504 -> inf
+
+    # subnormal range: round |x| * 2^24 to the nearest even integer
+    ax = jax.lax.bitcast_convert_type(absb, jnp.float32)
+    magic = jnp.float32(12582912.0)              # 1.5 * 2^23
+    k = (ax * jnp.float32(16777216.0) + magic) - magic
+    rs = jax.lax.bitcast_convert_type(
+        k * jnp.float32(5.9604644775390625e-08), jnp.uint32)  # * 2^-24
+
+    r = jnp.where(exp >= 113, rn, rs)
+    r = jnp.where(exp == 255, absb, r)           # NaN / inf passthrough
+    return jax.lax.bitcast_convert_type(sign | r, jnp.float32)
+
+
+def _quantize(cfg, x):
+    """Storage-dtype rounding at the reference's re-store points."""
+    if cfg.tmp_data_dtype == "float16":
+        return round_to_f16(x)
+    if cfg.tmp_data_dtype == "bfloat16":
+        return x.astype(jnp.bfloat16).astype(jnp.float32)
+    return x
 
 
 def _lanes_out(cfg):
@@ -60,6 +106,10 @@ def _fitter_kernel(cfg, tmp_ref, noise_ref, w_ref, mm_ref):
     denom = jnp.where(jnp.abs(bmax - bmin) > 1.0, bmax - bmin, 1.0)
     scaled = (sub - bmin[..., None]) / denom[..., None]
     data = jnp.concatenate([data[:, :lo, :], scaled, data[:, F:, :]], axis=1)
+    # storage round after the in-place rescale (the reference stores the
+    # rescaled features back through the half-precision path,
+    # opencl/bmfr.cl:536-541)
+    data = _quantize(cfg, data)
 
     # --- regularization noise on feature columns 1..F-1
     #     (opencl/bmfr.cl:625-627; row 0 of noise_ref is zero) ---
@@ -85,6 +135,9 @@ def _fitter_kernel(cfg, tmp_ref, noise_ref, w_ref, mm_ref):
         dots = jnp.sum(rest * u[:, None, :], axis=-1)    # [C, B-col-1]
         coef = (2.0 / u_len_sq)[:, None, None]
         rest = rest - coef * dots[:, :, None] * u[:, None, :]
+        # the reference's per-reflection half re-store
+        # (opencl/bmfr.cl:653 via the STORE macro :255-265)
+        rest = _quantize(cfg, rest)
 
         new_col = jnp.where(elem < col, v, 0.0)
         new_col = jnp.where(elem == col, vec_len[:, None], new_col)

@@ -76,10 +76,17 @@ def gather_taps(planes, iy, ix, mode="float32"):
     for up to 16 rider channels).
     """
     C = planes.shape[0]
-    if mode == "packed_x_bf16":
+    if mode in ("packed_x_bf16", "pallas"):
         src = pack_x_pairs_bf16(planes)                # [C, H, W] i32
-        row0 = gather_planes(src, iy, ix).astype(jnp.uint32)
-        row1 = gather_planes(src, iy + 1, ix).astype(jnp.uint32)
+        if mode == "pallas":
+            from .warp_pallas import warp_rows_pallas
+
+            row0, row1 = warp_rows_pallas(src, iy, ix)
+            row0 = row0.astype(jnp.uint32)
+            row1 = row1.astype(jnp.uint32)
+        else:
+            row0 = gather_planes(src, iy, ix).astype(jnp.uint32)
+            row1 = gather_planes(src, iy + 1, ix).astype(jnp.uint32)
 
         def lo(u):
             return jax.lax.bitcast_convert_type(

@@ -1,0 +1,387 @@
+"""Fused Pallas temporal-warp kernel — the clipped row-pair gather of all
+recurrent channels in one pass, replacing XLA's gather ops.
+
+The reference resolves its temporal taps in-kernel at full memory
+parallelism (opencl/bmfr.cl:374-419, :801-832, :929-960). On this TPU
+stack XLA lowers the equivalent gather to ~6-9 ns/index serial loops
+(~6 ms per gather op at 1280x720 amortized — docs/PERF_NOTES.md), which
+round 1 left as the dominant frame cost. This kernel exploits what the
+XLA gather cannot: *temporal reprojection is coherent*. Measured on real
+reprojection fields (scripts/probe_fields.py), per-16x256-tile
+displacement spread is p50 ~3 px and p99 ~13-19 px, so almost every
+pixel resolves from a small per-tile window:
+
+  1. per tile, DMA a motion-bounded window of the packed source
+     (8-aligned row origin, 128-aligned column origin) into VMEM,
+  2. one dynamic lane roll aligns the window to the tile's minimum
+     column displacement,
+  3. resolve the source row with shifted-sublane-slice selects driven by
+     a per-source-column selector plane (``row1`` rides along as the
+     ``k+1`` slice — source padding makes ``row1 = row0 + 1`` always),
+  4. resolve the source column with shifted-lane-slice selects driven by
+     a per-pixel relative-displacement plane,
+
+all dense VPU work at vector throughput, with the select depth chosen
+per tile from size classes (`lax.switch`) so gentle tiles pay only a few
+select layers.
+
+Exactness: the kernel path is bit-identical to the XLA gather for every
+*covered* pixel. Pixels the per-axis decomposition cannot serve —
+window misses, and "fold" conflicts where two pixels of one row claim
+the same source column with different source rows (~0.5% of pixels on
+real fields) — are detected in the XLA-side plan, compacted, fetched
+with a small K-index gather and scattered over the kernel output. If
+the uncovered count exceeds the fix-up capacity (camera teleports), the
+whole frame falls back to the exact XLA gather under ``lax.cond`` — so
+the kernel is bit-identical to ``gather_planes`` everywhere, for every
+pixel whose taps the pipeline consumes, at every coverage level.
+
+The source is the same x-pair-packed int32 representation as warp mode
+``packed_x_bf16`` (two bf16 horizontal taps per 32-bit lane): one
+resolved word per (row, pixel) yields both horizontal taps, and the
+caller's unpack/mask logic is shared verbatim with the XLA packed mode.
+
+Mosaic facts this kernel is built on (measured; scripts/probe_v5.py,
+docs/PERF_NOTES.md): grid steps cost ~37 us (hence one invocation with a
+``fori_loop`` over tiles at ~1.3 us each); DMA slice offsets must be
+wrapped in ``pl.multiple_of`` and 8-aligned (sublanes) / 128-aligned
+(lanes); two-axis dynamic DMA offsets work; ``pltpu.roll`` accepts
+traced shifts; ``lax.switch`` on an SMEM scalar selects between
+unrolled bodies.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+#: Tile geometry: output tiles resolved per fori step.
+TH = 16
+TC = 256
+
+#: Select-depth size classes (per tile, chosen by its displacement
+#: spread). A pixel is kernel-covered when its row selector s is in
+#: [0, y_cap) and its column selector t is in [0, x_cap); tiles wilder
+#: than the largest class push their outlier pixels to the fix-up path.
+Y_CLASSES = (4, 8, 16, 38)
+X_CLASSES = (4, 8, 16, 48)
+
+#: Window extents: rows = TH + max(Y_CLASSES) + row1 slot + alignment,
+#: lanes = TC + max(X_CLASSES) + 128-alignment slack + padding.
+WH = 56
+TW = 512
+
+#: Top padding of the source in rows: guarantees the padded row index
+#: b + P_T - loc is nonnegative for b >= -1, so window origins never
+#: clamp against 0 (b = clip(iy, -1, H-1); row -1 / row H are don't-care
+#: taps served from the zero padding).
+P_T = 24
+
+#: Left padding of the source in lanes: the column window origin
+#: xo = min(ixc - lx) can reach -(TC - 1) for leftward motion, so the
+#: 128-aligned DMA origin can reach -256.
+P_L = 256
+
+#: Fix-up capacity: compacted uncovered pixels per frame. Real fields
+#: show ~8k conflicted + <1k missed pixels on steady frames
+#: (scripts/probe_fields.py); overflow falls back to the full gather.
+FIXUP_K = 12288
+
+_BIG = jnp.int32(2**30)
+
+
+def _ceil(a, m):
+    return -(-a // m) * m
+
+
+class _WarpPlan(NamedTuple):
+    """Static geometry + per-frame tensors feeding the kernel."""
+
+    src_pad: jnp.ndarray    # [C, Hp, Wp] i32 packed source, zero-padded
+    sel: jnp.ndarray        # [NT*2*TH, TW] i32: per tile, u rows then t rows
+    wo: jnp.ndarray         # [NT] i32 window row origins (8-aligned)
+    xo128: jnp.ndarray      # [NT] i32 window lane origins (128-aligned)
+    ra: jnp.ndarray         # [NT] i32 lane roll amounts in [0, 127]
+    cls_y: jnp.ndarray      # [NT] i32 class index into Y_CLASSES
+    cls_x: jnp.ndarray      # [NT] i32 class index into X_CLASSES
+    uncovered: jnp.ndarray  # [H, W] bool — needs the fix-up path
+    n_uncovered: jnp.ndarray  # [] i32
+
+
+def _tiles(x, nty, ntx, fill):
+    """[H, W] -> [nty*ntx, TH, TC] with padding."""
+    H, W = x.shape
+    xp = jnp.pad(x, ((0, nty * TH - H), (0, ntx * TC - W)),
+                 constant_values=fill)
+    return (xp.reshape(nty, TH, ntx, TC).transpose(0, 2, 1, 3)
+            .reshape(nty * ntx, TH, TC))
+
+
+def _untile(x, nty, ntx, H, W):
+    """[nty*ntx, TH, TC] -> [H, W]."""
+    return (x.reshape(nty, ntx, TH, TC).transpose(0, 2, 1, 3)
+            .reshape(nty * TH, ntx * TC)[:H, :W])
+
+
+def _shift_lanes(x, j, fill):
+    """x[..., l] -> x[..., l - j] (j >= 0 static), zero-history fill."""
+    if j == 0:
+        return x
+    pad = jnp.full(x.shape[:-1] + (j,), fill, x.dtype)
+    return jnp.concatenate([pad, x[..., :-j]], axis=-1)
+
+
+def _unshift_lanes(x, j, fill):
+    """x[..., l] -> x[..., l + j] (j >= 0 static)."""
+    if j == 0:
+        return x
+    pad = jnp.full(x.shape[:-1] + (j,), fill, x.dtype)
+    return jnp.concatenate([x[..., j:], pad], axis=-1)
+
+
+def _plan(src_packed, iy, ix):
+    """XLA-side index preprocessing: per-tile window origins and size
+    classes, the per-source-column row-selector plane (scattered with
+    static lane shifts), the per-pixel column selector, and the
+    per-pixel coverage mask. Pure vector int math, no gathers."""
+    i32 = jnp.int32
+    C, H, W = src_packed.shape
+    nty, ntx = -(-H // TH), -(-W // TC)
+    NT = nty * ntx
+    Hp = _ceil(P_T + H + WH, 8)
+    Wp = _ceil(P_L + max(W, TC) + TW - 128, 128)
+
+    row = jnp.arange(H, dtype=i32)[:, None]
+    col = jnp.arange(W, dtype=i32)[None, :]
+    valid = (iy >= -1) & (iy <= H - 1) & (ix >= -1) & (ix <= W - 1)
+    b = jnp.clip(iy, -1, H - 1)
+    ixc = jnp.clip(ix, 0, W - 1)
+    loc = row % TH
+    lx = col % TC
+
+    d = b + P_T - loc          # padded-space row selector base
+    dx = ixc - lx              # column selector base (absolute)
+
+    vt = _tiles(valid, nty, ntx, False)
+    dt = _tiles(jnp.where(valid, d, _BIG), nty, ntx, _BIG)
+    dxt = _tiles(jnp.where(valid, dx, _BIG), nty, ntx, _BIG)
+
+    def tmin(x):
+        m = jnp.min(x.reshape(NT, -1), axis=1)
+        return jnp.where(m >= _BIG, 0, m)
+
+    dmin = tmin(dt)                                   # [NT]
+    wo = jnp.clip(dmin & ~i32(7), 0, Hp - WH)
+    # column origin may be negative (leftward motion); the left padding
+    # keeps the 128-aligned DMA origin in range
+    xo = jnp.clip(tmin(dxt), -P_L, Wp - P_L - TW)
+    xo128 = jnp.clip(xo & ~i32(127), -P_L, Wp - P_L - TW)
+    ra = xo - xo128                                   # [0, 127]
+
+    wo_t = wo[:, None, None]
+    xo_t = xo[:, None, None]
+    s = jnp.where(vt, dt - wo_t, -1)                  # [NT, TH, TC]
+    t = jnp.where(vt, dxt - xo_t, -1)
+
+    y_caps = jnp.asarray(Y_CLASSES, i32)
+    x_caps = jnp.asarray(X_CLASSES, i32)
+    s_for_cls = jnp.where(vt & (s >= 0) & (s < Y_CLASSES[-1]), s, -1)
+    t_for_cls = jnp.where(vt & (t >= 0) & (t < X_CLASSES[-1]), t, -1)
+    s_max = jnp.max(s_for_cls.reshape(NT, -1), axis=1)
+    t_max = jnp.max(t_for_cls.reshape(NT, -1), axis=1)
+    cls_y = jnp.searchsorted(y_caps, s_max + 1)       # first cap > s_max
+    cls_x = jnp.searchsorted(x_caps, t_max + 1)
+    cap_y = y_caps[cls_y][:, None, None]
+    cap_x = x_caps[cls_x][:, None, None]
+
+    in_win = vt & (s >= 0) & (s < cap_y) & (t >= 0) & (t < cap_x)
+
+    # Row-selector scatter: u[loc, lx + t] = s of the claiming pixel.
+    # Static lane shifts over the class-x range; claims never cross tile
+    # boundaries (positions lx + t <= TC - 1 + max(X_CLASSES)).
+    SW = TC + X_CLASSES[-1]
+    sclaim = jnp.where(in_win, s, -1)
+    spad = jnp.pad(sclaim, ((0, 0), (0, 0), (0, SW - TC)),
+                   constant_values=-1)
+    tpad = jnp.pad(jnp.where(in_win, t, -1),
+                   ((0, 0), (0, 0), (0, SW - TC)), constant_values=-1)
+    u = jnp.full((NT, TH, SW), -1, i32)
+    umin = jnp.full((NT, TH, SW), _BIG, i32)
+    for j in range(X_CLASSES[-1]):
+        cj = jnp.where(tpad == j, spad, -1)
+        sh = _shift_lanes(cj, j, i32(-1))
+        u = jnp.maximum(u, sh)
+        umin = jnp.minimum(umin, jnp.where(sh >= 0, sh, _BIG))
+
+    # Per-pixel claim consistency: the kernel serves position lx + t with
+    # u there; a pixel whose s lost the claim goes to fix-up.
+    u_at = jnp.full((NT, TH, SW), -1, i32)
+    for j in range(X_CLASSES[-1]):
+        u_at = jnp.where(tpad == j, _unshift_lanes(u, j, i32(-1)), u_at)
+    served = in_win & (u_at[:, :, :TC] == s)
+
+    uncovered_t = vt & ~served
+    uncovered = _untile(uncovered_t, nty, ntx, H, W)
+    n_uncovered = jnp.sum(uncovered.astype(i32))
+
+    # Kernel selector planes: u indexed by pre-roll window lane
+    # (position lx + t, roll applied to the window in-kernel), t by
+    # output pixel. Non-claims select nothing.
+    u_sel = jnp.pad(u, ((0, 0), (0, 0), (0, TW - SW)), constant_values=-1)
+    t_sel = jnp.pad(jnp.where(served, t, -1),
+                    ((0, 0), (0, 0), (0, TW - TC)), constant_values=-1)
+    sel = jnp.concatenate([u_sel, t_sel], axis=1).reshape(NT * 2 * TH, TW)
+
+    src_pad = jnp.pad(src_packed,
+                      ((0, 0), (P_T, Hp - P_T - H), (P_L, Wp - P_L - W)))
+
+    # the kernel's DMA lane origin is in padded coordinates
+    return _WarpPlan(src_pad=src_pad, sel=sel, wo=wo,
+                     xo128=(xo128 + P_L).astype(i32), ra=ra.astype(i32),
+                     cls_y=cls_y.astype(i32), cls_x=cls_x.astype(i32),
+                     uncovered=uncovered, n_uncovered=n_uncovered)
+
+
+def _warp_kernel(C, nty, ntx,
+                 wo_ref, ra_ref, cy_ref, cx_ref,
+                 src_hbm, sel_hbm, out_hbm,
+                 win, sel, stage, sem_w, sem_s, sem_o):
+    NT = nty * ntx
+
+    def body(i, _):
+        wo = pl.multiple_of(wo_ref[i], 8)
+        xo = pl.multiple_of(ra_ref[NT + i], 128)  # [ra ; xo128] packed
+        dw = pltpu.make_async_copy(
+            src_hbm.at[:, pl.ds(wo, WH), pl.ds(xo, TW)], win, sem_w)
+        dw.start()
+        ds = pltpu.make_async_copy(
+            sel_hbm.at[pl.ds(i * 2 * TH, 2 * TH), :], sel, sem_s)
+        ds.start()
+        dw.wait()
+        ds.wait()
+
+        ra = ra_ref[i]
+        winr = pltpu.roll(win[...], shift=TW - ra, axis=2)
+        u = sel[0:TH][None]
+        t = sel[TH:2 * TH, :TC][None]
+
+        def y_branch(cap):
+            def go(_):
+                acc0 = jnp.zeros((C, TH, TW), jnp.int32)
+                acc1 = jnp.zeros((C, TH, TW), jnp.int32)
+                for k in range(cap):
+                    cmp = u == k
+                    acc0 = jnp.where(cmp, winr[:, k:k + TH, :], acc0)
+                    acc1 = jnp.where(cmp, winr[:, k + 1:k + 1 + TH, :],
+                                     acc1)
+                return acc0, acc1
+            return go
+
+        acc0, acc1 = jax.lax.switch(
+            cy_ref[i], [y_branch(c) for c in Y_CLASSES], None)
+
+        def x_branch(cap):
+            def go(_):
+                o0 = jnp.zeros((C, TH, TC), jnp.int32)
+                o1 = jnp.zeros((C, TH, TC), jnp.int32)
+                for j in range(cap):
+                    cmpj = t == j
+                    o0 = jnp.where(cmpj, acc0[:, :, j:j + TC], o0)
+                    o1 = jnp.where(cmpj, acc1[:, :, j:j + TC], o1)
+                return o0, o1
+            return go
+
+        o0, o1 = jax.lax.switch(
+            cx_ref[i], [x_branch(c) for c in X_CLASSES], None)
+        stage[0] = o0
+        stage[1] = o1
+
+        ty = i // ntx
+        tx = i % ntx
+        do = pltpu.make_async_copy(
+            stage,
+            out_hbm.at[:, :, pl.ds(ty * TH, TH), pl.ds(tx * TC, TC)],
+            sem_o)
+        do.start()
+        do.wait()
+        return 0
+
+    jax.lax.fori_loop(0, NT, body, 0)
+
+
+def warp_rows_pallas(src_packed, iy, ix, *, fixup_k=FIXUP_K,
+                     interpret=None):
+    """Clipped row-pair gather of an x-pair-packed source.
+
+    Returns ``(row0, row1)`` — int32 ``[C, H, W]`` each — bit-identical
+    to ``gather_planes(src_packed, iy, ix)`` / ``(iy + 1, ix)`` (the two
+    gather ops of warp mode ``packed_x_bf16``) for every pixel whose
+    corresponding tap is in screen bounds (masked-out taps are
+    don't-cares). Kernel + compact fix-up on the fast path; whole-frame
+    XLA fallback under ``lax.cond`` when fix-up capacity overflows.
+    """
+    from .gather import gather_planes
+
+    i32 = jnp.int32
+    C, H, W = src_packed.shape
+    nty, ntx = -(-H // TH), -(-W // TC)
+    plan = _plan(src_packed, iy, ix)
+    Hk, Wk = nty * TH, ntx * TC
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    kernel = functools.partial(_warp_kernel, C, nty, ntx)
+
+    iy0 = jnp.clip(iy, 0, H - 1)
+    iy1 = jnp.clip(iy + 1, 0, H - 1)
+    ixc = jnp.clip(ix, 0, W - 1)
+    flat0 = (iy0 * W + ixc).ravel()
+    flat1 = (iy1 * W + ixc).ravel()
+    src_flat = src_packed.reshape(C, H * W)
+
+    def with_fixup(_):
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((2, C, Hk, Wk), jnp.int32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
+            + [pl.BlockSpec(memory_space=pl.ANY)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((C, WH, TW), jnp.int32),
+                pltpu.VMEM((2 * TH, TW), jnp.int32),
+                pltpu.VMEM((2, C, TH, TC), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(plan.wo, jnp.concatenate([plan.ra, plan.xo128]),
+          plan.cls_y, plan.cls_x, plan.src_pad, plan.sel)
+        row0k = out[0, :, :H, :W]
+        row1k = out[1, :, :H, :W]
+
+        # Compact fix-up: gather the uncovered pixels' exact values and
+        # scatter them over the kernel output (small K — measured
+        # ~0.2 ms gather + ~0.8 ms scatter at K=12288; PERF_NOTES.md).
+        idx = jnp.nonzero(plan.uncovered.ravel(), size=fixup_k,
+                          fill_value=0)[0].astype(i32)
+        v0 = src_flat[:, flat0[idx]]
+        v1 = src_flat[:, flat1[idx]]
+        r0 = row0k.reshape(C, H * W).at[:, idx].set(v0).reshape(C, H, W)
+        r1 = row1k.reshape(C, H * W).at[:, idx].set(v1).reshape(C, H, W)
+        return r0, r1
+
+    def full_fallback(_):
+        return (gather_planes(src_packed, iy, ix),
+                gather_planes(src_packed, iy + 1, ix))
+
+    return jax.lax.cond(plan.n_uncovered <= fixup_k, with_fixup,
+                        full_fallback, None)

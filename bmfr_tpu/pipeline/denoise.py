@@ -58,34 +58,45 @@ def denoise_frame(cfg, state: TemporalState, inputs: FrameInputs,
     from ..ops.reproject import reproject_coords
     from ..ops.warp import gather_taps
 
-    pfx, pfy = reproject_coords(cfg, inputs.positions, prev_cam, pixel_offset)
-    ix = floor_int(pfx)
-    iy = floor_int(pfy)
-    stacked = jnp.concatenate(
-        [state.positions, state.normals, state.noisy,
-         state.spp.astype(jnp.float32)[None], state.out, state.result],
-        axis=0)                                    # [16, H, W]
-    all_taps = gather_taps(stacked, iy, ix, mode=cfg.warp_mode)
+    # named scopes flow into the compiled op names so xplane traces can
+    # attribute device time per stage (bmfr_tpu/xplane.py; the analogue
+    # of the reference's per-kernel CL event timers, bmfr.cpp:386-412)
+    with jax.named_scope("warp_taps"):
+        pfx, pfy = reproject_coords(
+            cfg, inputs.positions, prev_cam, pixel_offset)
+        ix = floor_int(pfx)
+        iy = floor_int(pfy)
+        stacked = jnp.concatenate(
+            [state.positions, state.normals, state.noisy,
+             state.spp.astype(jnp.float32)[None], state.out, state.result],
+            axis=0)                                    # [16, H, W]
+        all_taps = gather_taps(stacked, iy, ix, mode=cfg.warp_mode)
 
-    k1 = accumulate_noisy_data(
-        cfg, inputs.normals, inputs.positions, inputs.noisy,
-        state.normals, state.positions, state.noisy, state.spp,
-        prev_cam, pixel_offset, frame, taps=all_taps[:, 0:10])
+    with jax.named_scope("k1_accumulate_noisy"):
+        k1 = accumulate_noisy_data(
+            cfg, inputs.normals, inputs.positions, inputs.noisy,
+            state.normals, state.positions, state.noisy, state.spp,
+            prev_cam, pixel_offset, frame, taps=all_taps[:, 0:10])
 
-    tmp = build_feature_blocks(
-        cfg, inputs.normals, inputs.positions, k1["accum"], frame)
-    weights, mins_maxs = fit_blocks(cfg, tmp, frame)
+    with jax.named_scope("k2_blockify"):
+        tmp = build_feature_blocks(
+            cfg, inputs.normals, inputs.positions, k1["accum"], frame)
+    with jax.named_scope("k2_fitter"):
+        weights, mins_maxs = fit_blocks(cfg, tmp, frame)
 
-    filtered = weighted_sum(
-        cfg, weights, mins_maxs, inputs.normals, inputs.positions,
-        k1["accum"], frame, feature_blocks=tmp)
+    with jax.named_scope("k3_weighted_sum"):
+        filtered = weighted_sum(
+            cfg, weights, mins_maxs, inputs.normals, inputs.positions,
+            k1["accum"], frame, feature_blocks=tmp)
 
-    out, tone = accumulate_filtered_data(
-        cfg, filtered, k1["prev_pixels"], k1["accept"], inputs.albedo,
-        k1["spp"], state.out, frame, taps=all_taps[:, 10:13])
+    with jax.named_scope("k4_accumulate_filtered"):
+        out, tone = accumulate_filtered_data(
+            cfg, filtered, k1["prev_pixels"], k1["accept"], inputs.albedo,
+            k1["spp"], state.out, frame, taps=all_taps[:, 10:13])
 
-    result = taa(cfg, k1["prev_pixels"], tone, state.result, frame,
-                 taps=all_taps[:, 13:16])
+    with jax.named_scope("k5_taa"):
+        result = taa(cfg, k1["prev_pixels"], tone, state.result, frame,
+                     taps=all_taps[:, 13:16])
 
     new_state = TemporalState(
         normals=inputs.normals,

@@ -12,7 +12,13 @@ frame time — the "Full frame" row is the ground truth, the per-stage rows
 show relative weight, exactly like the reference's per-kernel events vs
 its "Total time in all kernels" row.
 
-Usage: python -m bmfr_tpu.profile_stages [--width W --height H]
+``--xplane`` switches to true on-device attribution: the fused frame is
+run under an XLA profiler trace and every device op's duration is
+grouped by its pipeline stage scope (bmfr_tpu/xplane.py) — these rows DO
+sum to ~the fused frame time, the exact analogue of the reference's CL
+event report.
+
+Usage: python -m bmfr_tpu.profile_stages [--width W --height H] [--xplane]
 """
 
 from __future__ import annotations
@@ -24,12 +30,44 @@ import time
 import numpy as np
 
 
+def xplane_report(cfg, state, inputs, cam, off, frame, reps=3,
+                  logdir="/tmp/bmfr_trace"):
+    """Trace the fused frame and print per-stage *device* milliseconds."""
+    import shutil
+
+    import jax
+
+    from . import xplane
+    from .pipeline.denoise import denoise_frame
+    from .profiling import force, trace
+
+    jfn = jax.jit(lambda *a: denoise_frame(cfg, *a)[1]["result"])
+    force(jfn(state, inputs, cam, off, frame))  # compile outside trace
+    shutil.rmtree(logdir, ignore_errors=True)
+    with trace(logdir):
+        for _ in range(reps):
+            force(jfn(state, inputs, cam, off, frame))
+    per, other, total = xplane.stage_device_times(logdir)
+    print(f"Per-stage DEVICE time over {reps} frames "
+          f"(xplane trace, ms/frame):")
+    print(f"{'stage':<40}{'ms/frame':>12}")
+    print("-" * 52)
+    for scope, ms in per.items():
+        print(f"{scope:<40}{ms / reps:>12.3f}")
+    print(f"{'(unattributed)':<40}{other / reps:>12.3f}")
+    print(f"{'total device':<40}{total / reps:>12.3f}")
+    return per, other, total
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--width", type=int, default=1280)
     p.add_argument("--height", type=int, default=720)
     p.add_argument("--reps", type=int, default=5)
     p.add_argument("--warp-mode", default="packed_x_bf16")
+    p.add_argument("--xplane", action="store_true",
+                   help="per-stage device times from an XLA profiler "
+                        "trace (sums to ~the fused frame time)")
     args = p.parse_args(argv)
 
     import jax
@@ -61,6 +99,16 @@ def main(argv=None):
     cam = jnp.asarray(sc["camera_matrices"][0])
     off = jnp.asarray(sc["pixel_offsets"][1])
     frame = jnp.int32(1)
+
+    if args.xplane:
+        from .pipeline.denoise import FrameInputs
+        from .pipeline.state import TemporalState
+
+        state = TemporalState(pn, pp, pnz, pspp, pnz, pnz)
+        inputs = FrameInputs(normals, positions, noisy, albedo)
+        xplane_report(cfg, state, inputs, cam, off, frame,
+                      reps=args.reps)
+        return 0
 
     rows = []
 

@@ -1,0 +1,180 @@
+"""XPlane trace parsing: per-stage on-device timings.
+
+The reference reports per-kernel device times from CL events
+(opencl/bmfr.cpp:386-412, 488-517; CLUtils.hpp:439-494). The TPU
+equivalent: capture an XLA profiler trace (``profiling.trace``), parse
+the ``.xplane.pb`` protobuf it writes, and attribute each device op's
+duration to a pipeline stage via the ``jax.named_scope`` annotations the
+pipeline carries (bmfr_tpu/pipeline/denoise.py).
+
+The xplane schema is decoded with a minimal protobuf wire-format reader
+(no tensorflow/tensorboard dependency): XSpace { planes=1 }, XPlane
+{ name=2, lines=3, event_metadata=4 (map) }, XLine { name=2, events=4 },
+XEvent { metadata_id=1, offset_ps=2, duration_ps=3 }, XEventMetadata
+{ id=1, name=2, display_name=4 }.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from collections import defaultdict
+
+#: Stage scope names emitted by the pipeline (jax.named_scope) in
+#: reference kernel order (opencl/bmfr.cpp:446-476).
+STAGE_SCOPES = (
+    "warp_taps",
+    "k1_accumulate_noisy",
+    "k2_blockify",
+    "k2_fitter",
+    "k3_weighted_sum",
+    "k4_accumulate_filtered",
+    "k5_taa",
+)
+
+
+class _Wire:
+    def __init__(self, buf, start=0, end=None):
+        self.buf = buf
+        self.pos = start
+        self.end = len(buf) if end is None else end
+
+    def varint(self):
+        v = 0
+        shift = 0
+        while True:
+            b = self.buf[self.pos]
+            self.pos += 1
+            v |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return v
+            shift += 7
+
+    def fields(self):
+        """Yield (field_number, wire_type, value_or_span)."""
+        while self.pos < self.end:
+            tag = self.varint()
+            fnum, wtype = tag >> 3, tag & 7
+            if wtype == 0:
+                yield fnum, 0, self.varint()
+            elif wtype == 1:
+                v = self.buf[self.pos : self.pos + 8]
+                self.pos += 8
+                yield fnum, 1, v
+            elif wtype == 2:
+                ln = self.varint()
+                span = (self.pos, self.pos + ln)
+                self.pos += ln
+                yield fnum, 2, span
+            elif wtype == 5:
+                v = self.buf[self.pos : self.pos + 4]
+                self.pos += 4
+                yield fnum, 5, v
+            else:
+                raise IOError(f"unsupported wire type {wtype}")
+
+
+def _parse_event(buf, span):
+    md_id = offset_ps = dur_ps = 0
+    for fnum, wt, val in _Wire(buf, *span).fields():
+        if fnum == 1 and wt == 0:
+            md_id = val
+        elif fnum == 2 and wt == 0:
+            offset_ps = val
+        elif fnum == 3 and wt == 0:
+            dur_ps = val
+    return md_id, offset_ps, dur_ps
+
+
+def _parse_line(buf, span):
+    name = ""
+    events = []
+    for fnum, wt, val in _Wire(buf, *span).fields():
+        if fnum == 2 and wt == 2:
+            name = buf[val[0] : val[1]].decode("utf-8", "replace")
+        elif fnum == 4 and wt == 2:
+            events.append(_parse_event(buf, val))
+    return name, events
+
+
+def _parse_event_metadata(buf, span):
+    md_id = 0
+    name = display = ""
+    for fnum, wt, val in _Wire(buf, *span).fields():
+        if fnum == 1 and wt == 0:
+            md_id = val
+        elif fnum == 2 and wt == 2:
+            name = buf[val[0] : val[1]].decode("utf-8", "replace")
+        elif fnum == 4 and wt == 2:
+            display = buf[val[0] : val[1]].decode("utf-8", "replace")
+    return md_id, (display or name)
+
+
+def _parse_plane(buf, span):
+    name = ""
+    lines = []
+    meta = {}
+    for fnum, wt, val in _Wire(buf, *span).fields():
+        if fnum == 2 and wt == 2:
+            name = buf[val[0] : val[1]].decode("utf-8", "replace")
+        elif fnum == 3 and wt == 2:
+            lines.append(_parse_line(buf, val))
+        elif fnum == 4 and wt == 2:
+            # map entry { key=1, value=2 (XEventMetadata) }
+            for f2, w2, v2 in _Wire(buf, *val).fields():
+                if f2 == 2 and w2 == 2:
+                    mid, mname = _parse_event_metadata(buf, v2)
+                    meta[mid] = mname
+    return name, lines, meta
+
+
+def parse_xspace(path):
+    """Parse one .xplane.pb file -> list of (plane_name, lines, meta)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    planes = []
+    for fnum, wt, val in _Wire(buf).fields():
+        if fnum == 1 and wt == 2:
+            planes.append(_parse_plane(buf, val))
+    return planes
+
+
+def find_xplane_files(logdir):
+    return sorted(glob.glob(
+        os.path.join(logdir, "plugins", "profile", "*", "*.xplane.pb")))
+
+
+def device_op_durations(logdir):
+    """All device-plane op events: list of (op_name, duration_ps)."""
+    out = []
+    for path in find_xplane_files(logdir):
+        for name, lines, meta in parse_xspace(path):
+            if "/device:TPU" not in name and "TPU" not in name.split()[0]:
+                continue
+            for _line_name, events in lines:
+                for md_id, _off, dur in events:
+                    out.append((meta.get(md_id, str(md_id)), dur))
+    return out
+
+
+def stage_device_times(logdir, scopes=STAGE_SCOPES):
+    """Aggregate device op durations by pipeline stage scope.
+
+    Returns ``(per_stage_ms, other_ms, total_ms)`` where per_stage_ms is
+    an ordered dict scope -> milliseconds summed over all device ops
+    whose (scope-annotated) op name contains the scope string.
+    """
+    per = defaultdict(float)
+    other = 0.0
+    total = 0.0
+    for op_name, dur_ps in device_op_durations(logdir):
+        ms = dur_ps / 1e9
+        total += ms
+        for scope in scopes:
+            if scope in op_name:
+                per[scope] += ms
+                break
+        else:
+            other += ms
+    ordered = {s: per.get(s, 0.0) for s in scopes}
+    return ordered, other, total

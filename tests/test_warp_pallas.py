@@ -1,0 +1,221 @@
+"""The Pallas warp kernel must be bit-identical to the XLA gather pair.
+
+``warp_rows_pallas`` promises: for every pixel with at least one
+in-bounds tap, ``(row0, row1)`` equal ``gather_planes(src, iy, ix)`` /
+``(iy+1, ix)`` exactly (same int32 packed words) — via the tile kernel
+for covered pixels, the compact fix-up for window-miss/fold pixels, and
+the whole-frame fallback when fix-up capacity overflows. Pixels with
+*no* valid tap are don't-cares (the pipeline masks them), so tests
+compare under that mask.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bmfr_tpu.ops.gather import gather_planes
+from bmfr_tpu.ops.warp import gather_taps
+from bmfr_tpu.ops.warp_pallas import _plan, warp_rows_pallas
+
+C, H, W = 5, 48, 160
+
+
+def make_src(seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(
+        rng.integers(-2**31, 2**31 - 1, size=(C, H, W), dtype=np.int64)
+        .astype(np.int32))
+
+
+def row_masks(iy, ix, h=H, w=W):
+    """Don't-care masks: a row's value only matters if one of its two
+    horizontal taps is in bounds (the pipeline masks the rest)."""
+    xok = (ix >= -1) & (ix <= w - 1)
+    m0 = ((iy >= 0) & (iy <= h - 1) & xok)[None]
+    m1 = ((iy >= -1) & (iy <= h - 2) & xok)[None]
+    return np.asarray(m0), np.asarray(m1)
+
+
+def check_match(src, iy, ix, max_uncovered=None, min_uncovered=None):
+    plan = _plan(src, iy, ix)
+    n_unc = int(plan.n_uncovered)
+    if max_uncovered is not None:
+        assert n_unc <= max_uncovered, n_unc
+    if min_uncovered is not None:
+        assert n_unc >= min_uncovered, n_unc
+    row0, row1 = jax.jit(warp_rows_pallas)(src, iy, ix)
+    ref0 = gather_planes(src, iy, ix)
+    ref1 = gather_planes(src, iy + 1, ix)
+    m0, m1 = row_masks(iy, ix, src.shape[1], src.shape[2])
+    np.testing.assert_array_equal(
+        np.where(m0, np.asarray(row0), 0), np.where(m0, np.asarray(ref0), 0))
+    np.testing.assert_array_equal(
+        np.where(m1, np.asarray(row1), 0), np.where(m1, np.asarray(ref1), 0))
+    return n_unc
+
+
+def coherent_indices(seed=1, max_disp=5):
+    """Smooth small-motion index field like real reprojection."""
+    rng = np.random.default_rng(seed)
+    y = np.arange(H)[:, None] + rng.integers(-max_disp, max_disp + 1)
+    x = np.arange(W)[None, :] + rng.integers(-max_disp, max_disp + 1)
+    jy = rng.integers(-2, 3, size=(H, W))
+    jx = rng.integers(-2, 3, size=(H, W))
+    iy = (y + np.zeros((1, W), int) + jy).astype(np.int32)
+    ix = (x + np.zeros((H, 1), int) + jx).astype(np.int32)
+    return jnp.asarray(iy), jnp.asarray(ix)
+
+
+def test_identity_warp():
+    src = make_src()
+    iy = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[:, None], (H, W))
+    ix = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :], (H, W))
+    check_match(src, iy, ix, max_uncovered=0)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_coherent_motion(seed):
+    """Smooth motion plus per-pixel jitter: the jitter folds many
+    columns (far harsher than real reprojection), all fixed up."""
+    src = make_src(seed)
+    iy, ix = coherent_indices(seed)
+    n = check_match(src, iy, ix)
+    assert n < H * W  # fix-up path, not the full fallback
+
+
+def test_smooth_field_mostly_covered():
+    """A smooth low-gradient field like real reprojection: the kernel
+    must cover almost everything (real fields measure <1% uncovered)."""
+    src = make_src(20)
+    yy = np.arange(H)[:, None]
+    xx = np.arange(W)[None, :]
+    iy = jnp.asarray((yy + 3 + (xx * 0.01)).astype(np.int32)
+                     + np.zeros((H, W), np.int32))
+    ix = jnp.asarray((xx - 2 + (yy * 0.02)).astype(np.int32)
+                     + np.zeros((H, W), np.int32))
+    n = check_match(src, iy, ix)
+    assert n <= H * W // 50
+
+
+def test_pure_pan_covered():
+    """Uniform small motion must be fully kernel-covered."""
+    src = make_src(11)
+    iy = (jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[:, None],
+                           (H, W)) + 3)
+    ix = (jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :],
+                           (H, W)) - 2)
+    check_match(src, iy, ix, max_uncovered=0)
+
+
+def test_global_pan_large():
+    """A large uniform pan is absorbed by the per-tile origins."""
+    src = make_src(4)
+    iy = (jnp.arange(H, dtype=jnp.int32)[:, None] - 30
+          + jnp.zeros((1, W), jnp.int32))
+    ix = (jnp.arange(W, dtype=jnp.int32)[None, :] + 90
+          + jnp.zeros((H, 1), jnp.int32))
+    check_match(src, iy, ix, max_uncovered=0)
+
+
+def test_minification_folds_fixed_up():
+    """2x zoom-out: every other source column is claimed twice with
+    different rows — per-axis resolve cannot serve those, the fix-up
+    must (plan reports them as uncovered)."""
+    src = make_src(12)
+    yy = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[:, None], (H, W))
+    xx = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :], (H, W))
+    iy = jnp.clip(yy * 2 - H // 2, -1, H - 1)
+    ix = jnp.clip(xx * 2 - W // 2, -1, W - 1)
+    check_match(src, iy, ix, min_uncovered=1)
+
+
+def test_edge_clipping():
+    """Off-screen rows/cols behave exactly like gather_planes under the
+    don't-care masks."""
+    src = make_src(5)
+    iy, ix = coherent_indices(5)
+    iy = iy.at[:4].set(-1)          # row0 clipped, row1 = row 0
+    iy = iy.at[-4:].set(H - 1)      # row1 clipped (don't-care)
+    ix = ix.at[:, :4].set(-1)
+    ix = ix.at[:, -4:].set(W - 1)
+    check_match(src, iy, ix)
+
+
+def test_fallback_on_wild_motion():
+    """Per-pixel random scatter overflows fix-up -> exact full fallback."""
+    src = make_src(6)
+    rng = np.random.default_rng(6)
+    iy = jnp.asarray(rng.integers(0, H, size=(H, W), dtype=np.int32))
+    ix = jnp.asarray(rng.integers(0, W, size=(H, W), dtype=np.int32))
+    plan = _plan(src, iy, ix)
+    assert int(plan.n_uncovered) > 0
+    check_match(src, iy, ix)
+
+
+def test_all_invalid_is_safe():
+    """Fully off-screen frame: values are don't-cares but must not crash."""
+    src = make_src(7)
+    iy = jnp.full((H, W), -1000, jnp.int32)
+    ix = jnp.full((H, W), -1000, jnp.int32)
+    row0, row1 = jax.jit(warp_rows_pallas)(src, iy, ix)
+    assert row0.shape == (C, H, W) and row1.shape == (C, H, W)
+
+
+def test_vertical_screen_entry():
+    """iy == -1 pixels: row0 is a don't-care, row1 must be source row 0
+    (served from the padded source, not a clipped duplicate)."""
+    src = make_src(13)
+    iy = jnp.full((H, W), -1, jnp.int32)
+    ix = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :], (H, W))
+    check_match(src, iy, ix)
+
+
+def test_gather_taps_pallas_vs_packed():
+    """Full tap stack: mode='pallas' == mode='packed_x_bf16' bitwise on
+    valid taps (they share packing and unpacking)."""
+    from bmfr_tpu.ops.gather import TAP_OFFSETS, in_bounds
+
+    rng = np.random.default_rng(8)
+    planes = jnp.asarray(rng.standard_normal((10, H, W)).astype(np.float32))
+    iy, ix = coherent_indices(8)
+    t_ref = gather_taps(planes, iy, ix, mode="packed_x_bf16")
+    t_pal = gather_taps(planes, iy, ix, mode="pallas")
+    for i, (dx, dy) in enumerate(TAP_OFFSETS):
+        m = np.asarray(in_bounds(iy + dy, ix + dx, H, W))[None]
+        np.testing.assert_array_equal(
+            np.where(m, np.asarray(t_pal[i]), 0),
+            np.where(m, np.asarray(t_ref[i]), 0))
+
+
+def test_nonaligned_geometry():
+    """Odd heights/widths (tile padding path) still match."""
+    rng = np.random.default_rng(9)
+    src = jnp.asarray(rng.integers(
+        -2**31, 2**31 - 1, size=(3, 37, 130), dtype=np.int64)
+        .astype(np.int32))
+    iy = jnp.clip(jnp.broadcast_to(
+        jnp.arange(37, dtype=jnp.int32)[:, None], (37, 130)) + 3, -5, 50)
+    ix = jnp.broadcast_to(
+        jnp.arange(130, dtype=jnp.int32)[None, :], (37, 130)) - 2
+    row0, row1 = jax.jit(warp_rows_pallas)(src, iy, ix)
+    ref0 = gather_planes(src, iy, ix)
+    ref1 = gather_planes(src, iy + 1, ix)
+    m0, m1 = row_masks(iy, ix, h=37, w=130)
+    np.testing.assert_array_equal(
+        np.where(m0, np.asarray(row0), 0), np.where(m0, np.asarray(ref0), 0))
+    np.testing.assert_array_equal(
+        np.where(m1, np.asarray(row1), 0), np.where(m1, np.asarray(ref1), 0))
+
+
+def test_fixup_capacity_boundary():
+    """A frame with a known small uncovered set must take the fix-up
+    path (not the fallback) and still match exactly."""
+    src = make_src(14)
+    iy = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[:, None], (H, W))
+    ix = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :], (H, W))
+    # a small square teleports: those pixels fold/miss
+    iy = iy.at[10:14, 10:14].set(40)
+    ix = ix.at[10:14, 10:14].set(150)
+    n = check_match(src, iy, ix)
+    assert 0 < n < 4096
