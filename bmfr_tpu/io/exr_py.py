@@ -116,6 +116,86 @@ def _decode_pxr24(chunk: bytes, channels, W: int, nlines: int) -> bytes:
     return bytes(out)
 
 
+def _b44_unpack14(b: bytes):
+    """One 14-byte B44 block -> 16 transformed uint16 (row-major 4x4)."""
+    t = [0] * 16
+    t[0] = (b[0] << 8) | b[1]
+    shift = b[2] >> 2
+    bias = 0x20 << shift
+
+    t[4] = t[0] + ((((b[2] << 4) | (b[3] >> 4)) & 0x3F) << shift) - bias
+    t[8] = t[4] + ((((b[3] << 2) | (b[4] >> 6)) & 0x3F) << shift) - bias
+    t[12] = t[8] + ((b[4] & 0x3F) << shift) - bias
+
+    t[1] = t[0] + ((b[5] >> 2) << shift) - bias
+    t[5] = t[4] + ((((b[5] << 4) | (b[6] >> 4)) & 0x3F) << shift) - bias
+    t[9] = t[8] + ((((b[6] << 2) | (b[7] >> 6)) & 0x3F) << shift) - bias
+    t[13] = t[12] + ((b[7] & 0x3F) << shift) - bias
+
+    t[2] = t[1] + ((b[8] >> 2) << shift) - bias
+    t[6] = t[5] + ((((b[8] << 4) | (b[9] >> 4)) & 0x3F) << shift) - bias
+    t[10] = t[9] + ((((b[9] << 2) | (b[10] >> 6)) & 0x3F) << shift) - bias
+    t[14] = t[13] + ((b[10] & 0x3F) << shift) - bias
+
+    t[3] = t[2] + ((b[11] >> 2) << shift) - bias
+    t[7] = t[6] + ((((b[11] << 4) | (b[12] >> 4)) & 0x3F) << shift) - bias
+    t[11] = t[10] + ((((b[12] << 2) | (b[13] >> 6)) & 0x3F) << shift) - bias
+    t[15] = t[14] + ((b[13] & 0x3F) << shift) - bias
+    return [v & 0xFFFF for v in t]
+
+
+def _b44_untransform(t: int) -> int:
+    """Invert the order-preserving half transform of B44."""
+    if t & 0x8000:
+        return t & 0x7FFF
+    return (~t) & 0xFFFF
+
+
+def _decode_b44(chunk: bytes, channels, W: int, nlines: int,
+                b44a: bool) -> bytes:
+    """B44/B44A chunk -> the standard per-line-per-channel raw layout.
+
+    HALF channels are 4x4 blocks of 14 packed bytes (3 for B44A flat
+    blocks, marker b[2] == 0xfc); FLOAT channels are stored raw."""
+    out = np.zeros((nlines, sum(2 * W if pt == 1 else 4 * W
+                                for _, pt in channels)), np.uint8)
+    # column byte offsets of each channel within a scanline
+    col_off = []
+    off = 0
+    for cn, pt in channels:
+        col_off.append(off)
+        off += 2 * W if pt == 1 else 4 * W
+
+    pos = 0
+    for ci, (cn, pt) in enumerate(channels):
+        if pt != 1:  # FLOAT/UINT stored raw, line by line
+            nb = 4 * W
+            for y in range(nlines):
+                row = np.frombuffer(chunk[pos : pos + nb], np.uint8)
+                out[y, col_off[ci] : col_off[ci] + nb] = row
+                pos += nb
+            continue
+        vals = np.zeros((nlines + 3, W + 3), np.uint16)
+        for by in range(0, nlines, 4):
+            for bx in range(0, W, 4):
+                if b44a and pos + 3 <= len(chunk) and chunk[pos + 2] == 0xFC:
+                    t0 = (chunk[pos] << 8) | chunk[pos + 1]
+                    blk = [t0] * 16
+                    pos += 3
+                else:
+                    blk = _b44_unpack14(chunk[pos : pos + 14])
+                    pos += 14
+                for r in range(4):
+                    for c in range(4):
+                        vals[by + r, bx + c] = _b44_untransform(
+                            blk[4 * r + c])
+        half_rows = vals[:nlines, :W].astype("<u2")
+        for y in range(nlines):
+            out[y, col_off[ci] : col_off[ci] + 2 * W] = (
+                half_rows[y].view(np.uint8))
+    return out.tobytes()
+
+
 def _decode_piz(chunk: bytes, channels, W: int, nlines: int) -> bytes:
     """PIZ chunk -> the standard per-line-per-channel raw layout."""
     from . import piz
@@ -268,7 +348,8 @@ def read_exr_py(path: str) -> np.ndarray:
 
     W = dw[2] - dw[0] + 1
     H = dw[3] - dw[1] + 1
-    lpb = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32, 5: 16}.get(compression)
+    lpb = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32, 5: 16, 6: 32, 7: 32}.get(
+        compression)
     if lpb is None:
         raise IOError(f"{path}: unsupported compression {compression}")
 
@@ -296,6 +377,9 @@ def read_exr_py(path: str) -> np.ndarray:
             raw = _decode_piz(chunk, channels, W, nlines)
         elif compression == 5:
             raw = _decode_pxr24(chunk, channels, W, nlines)
+        elif compression in (6, 7):
+            raw = _decode_b44(chunk, channels, W, nlines,
+                              b44a=compression == 7)
         else:
             raw = _unfilter(zlib.decompress(chunk))
         p = 0
@@ -309,3 +393,140 @@ def read_exr_py(path: str) -> np.ndarray:
                     out[y, :, oc] = vals
                 p += nb
     return out
+
+
+def _b44_transform(s: int) -> int:
+    """B44's order-preserving half transform (encode side)."""
+    if (s & 0x7C00) == 0x7C00:  # inf/nan collapse
+        return 0x8000
+    if s & 0x8000:
+        return (~s) & 0xFFFF
+    return s | 0x8000
+
+
+def _b44_pack14(t):
+    """Pack 16 transformed uint16 (row-major 4x4) into 14 bytes.
+
+    Test/fixture encoder: picks the smallest shift whose quantized chain
+    deltas fit 6 bits; exact when shift-0 deltas fit (smooth blocks)."""
+    chains = [(4, 0), (8, 4), (12, 8),
+              (1, 0), (5, 4), (9, 8), (13, 12),
+              (2, 1), (6, 5), (10, 9), (14, 13),
+              (3, 2), (7, 6), (11, 10), (15, 14)]
+
+    def attempt(shift):
+        bias = 0x20 << shift
+        rec = {0: t[0]}
+        es = {}
+        exact = feasible = True
+        for i, p in chains:
+            delta = t[i] - rec[p] + bias
+            e = delta >> shift
+            if e < 0 or e > 63:
+                feasible = False
+                e = max(0, min(63, e))
+            rec[i] = (rec[p] + (e << shift) - bias) & 0xFFFF
+            if rec[i] != t[i]:
+                exact = False
+            es[i] = e
+        return es, exact, feasible
+
+    chosen = None
+    for shift in range(14):
+        es, exact, feasible = attempt(shift)
+        if exact:
+            chosen = (shift, es)
+            break
+        if chosen is None and feasible:
+            chosen = (shift, es)
+    if chosen is None:
+        chosen = (13, attempt(13)[0])
+    shift, e = chosen
+    b = bytearray(14)
+    b[0] = t[0] >> 8
+    b[1] = t[0] & 0xFF
+    b[2] = (shift << 2) | (e[4] >> 4)
+    b[3] = ((e[4] & 0xF) << 4) | (e[8] >> 2)
+    b[4] = ((e[8] & 3) << 6) | e[12]
+    b[5] = (e[1] << 2) | (e[5] >> 4)
+    b[6] = ((e[5] & 0xF) << 4) | (e[9] >> 2)
+    b[7] = ((e[9] & 3) << 6) | e[13]
+    b[8] = (e[2] << 2) | (e[6] >> 4)
+    b[9] = ((e[6] & 0xF) << 4) | (e[10] >> 2)
+    b[10] = ((e[10] & 3) << 6) | e[14]
+    b[11] = (e[3] << 2) | (e[7] >> 4)
+    b[12] = ((e[7] & 0xF) << 4) | (e[11] >> 2)
+    b[13] = ((e[11] & 3) << 6) | e[15]
+    return bytes(b)
+
+
+def write_exr_b44(path: str, img_hwc: np.ndarray, b44a: bool = False):
+    """Minimal B44/B44A EXR writer (HALF channels only; fixtures)."""
+    img = np.asarray(img_hwc, np.float32)
+    H, W, C = img.shape
+    if C != 3:
+        raise ValueError("write_exr_b44: only 3 channels supported")
+    comp_id = 7 if b44a else 6
+    lpb = 32
+
+    out = bytearray()
+    out += struct.pack("<II", _MAGIC, 2)
+
+    def attr(name, typ, data):
+        out.extend(name.encode() + b"\0" + typ.encode() + b"\0")
+        out.extend(struct.pack("<I", len(data)))
+        out.extend(data)
+
+    chl = bytearray()
+    for cn in ("B", "G", "R"):
+        chl += cn.encode() + b"\0"
+        chl += struct.pack("<iBBBBii", 1, 0, 0, 0, 0, 1, 1)
+    chl += b"\0"
+    attr("channels", "chlist", bytes(chl))
+    attr("compression", "compression", bytes([comp_id]))
+    dw = struct.pack("<iiii", 0, 0, W - 1, H - 1)
+    attr("dataWindow", "box2i", dw)
+    attr("displayWindow", "box2i", dw)
+    attr("lineOrder", "lineOrder", b"\0")
+    attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
+    attr("screenWindowCenter", "v2f", struct.pack("<ff", 0.0, 0.0))
+    attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+    out += b"\0"
+
+    nblocks = (H + lpb - 1) // lpb
+    table_pos = len(out)
+    out += b"\0" * (8 * nblocks)
+    src = img[:, :, ::-1]
+    offsets = []
+    for bi in range(nblocks):
+        offsets.append(len(out))
+        ylo = bi * lpb
+        nlines = min(lpb, H - ylo)
+        payload = bytearray()
+        for c in range(3):
+            h16 = src[ylo : ylo + nlines, :, c].astype(
+                np.float16).view(np.uint16)
+            # pad to 4x4 blocks by edge replication (like the reference
+            # encoder), transform, pack
+            ph = ((nlines + 3) // 4) * 4
+            pw = ((W + 3) // 4) * 4
+            pad = np.zeros((ph, pw), np.uint16)
+            pad[:nlines, :W] = h16
+            pad[nlines:, :W] = h16[-1:]
+            pad[:, W:] = pad[:, W - 1 : W]
+            for by in range(0, ph, 4):
+                for bx in range(0, pw, 4):
+                    blk = [int(_b44_transform(int(pad[by + r, bx + cc])))
+                           for r in range(4) for cc in range(4)]
+                    if b44a and len(set(blk)) == 1:
+                        payload += bytes([blk[0] >> 8, blk[0] & 0xFF,
+                                          0xFC])
+                    else:
+                        payload += _b44_pack14(blk)
+        out += struct.pack("<iI", ylo, len(payload))
+        out += bytes(payload)
+    for bi, off in enumerate(offsets):
+        out[table_pos + 8 * bi : table_pos + 8 * (bi + 1)] = struct.pack(
+            "<Q", off)
+    with open(path, "wb") as f:
+        f.write(bytes(out))

@@ -270,8 +270,99 @@ int lines_per_block(uint8_t compression) {
     case 3: return 16;  // ZIP
     case 4: return 32;  // PIZ
     case 5: return 16;  // PXR24
+    case 6: return 32;  // B44
+    case 7: return 32;  // B44A
     default: return -1;
   }
+}
+
+// ---------------------------------------------------------------------
+// B44 / B44A decompression: HALF channels as 4x4 blocks of 14 packed
+// bytes (3-byte flat blocks in B44A, marker b[2] == 0xfc); FLOAT
+// channels stored raw, channel-major. Cross-checked against the Python
+// decoder in bmfr_tpu/io/exr_py.py.
+// ---------------------------------------------------------------------
+
+void b44_unpack14(const uint8_t *b, uint16_t *t) {
+  t[0] = (uint16_t)((b[0] << 8) | b[1]);
+  const int shift = b[2] >> 2;
+  const int bias = 0x20 << shift;
+  t[4] = (uint16_t)(t[0] + ((((b[2] << 4) | (b[3] >> 4)) & 0x3F) << shift) - bias);
+  t[8] = (uint16_t)(t[4] + ((((b[3] << 2) | (b[4] >> 6)) & 0x3F) << shift) - bias);
+  t[12] = (uint16_t)(t[8] + ((b[4] & 0x3F) << shift) - bias);
+  t[1] = (uint16_t)(t[0] + ((b[5] >> 2) << shift) - bias);
+  t[5] = (uint16_t)(t[4] + ((((b[5] << 4) | (b[6] >> 4)) & 0x3F) << shift) - bias);
+  t[9] = (uint16_t)(t[8] + ((((b[6] << 2) | (b[7] >> 6)) & 0x3F) << shift) - bias);
+  t[13] = (uint16_t)(t[12] + ((b[7] & 0x3F) << shift) - bias);
+  t[2] = (uint16_t)(t[1] + ((b[8] >> 2) << shift) - bias);
+  t[6] = (uint16_t)(t[5] + ((((b[8] << 4) | (b[9] >> 4)) & 0x3F) << shift) - bias);
+  t[10] = (uint16_t)(t[9] + ((((b[9] << 2) | (b[10] >> 6)) & 0x3F) << shift) - bias);
+  t[14] = (uint16_t)(t[13] + ((b[10] & 0x3F) << shift) - bias);
+  t[3] = (uint16_t)(t[2] + ((b[11] >> 2) << shift) - bias);
+  t[7] = (uint16_t)(t[6] + ((((b[11] << 4) | (b[12] >> 4)) & 0x3F) << shift) - bias);
+  t[11] = (uint16_t)(t[10] + ((((b[12] << 2) | (b[13] >> 6)) & 0x3F) << shift) - bias);
+  t[15] = (uint16_t)(t[14] + ((b[13] & 0x3F) << shift) - bias);
+}
+
+inline uint16_t b44_untransform(uint16_t t) {
+  return (t & 0x8000) ? (uint16_t)(t & 0x7FFF) : (uint16_t)(~t);
+}
+
+bool b44_uncompress_chunk(const uint8_t *cp, size_t packed,
+                          const std::vector<int> &chan_types, int W,
+                          int nlines, bool b44a,
+                          std::vector<uint8_t> &raw) {
+  const int nch = (int)chan_types.size();
+  size_t line_bytes = 0;
+  std::vector<size_t> col_off(nch);
+  for (int c = 0; c < nch; ++c) {
+    col_off[c] = line_bytes;
+    line_bytes += (size_t)W * (chan_types[c] == 2 ? 4 : 2);
+  }
+  raw.assign(line_bytes * nlines, 0);
+  size_t pos = 0;
+  const int ph = (nlines + 3) & ~3, pw = (W + 3) & ~3;
+  std::vector<uint16_t> vals((size_t)ph * pw);
+  for (int c = 0; c < nch; ++c) {
+    if (chan_types[c] != 1) {  // FLOAT stored raw, channel-major lines
+      const size_t nb = 4 * (size_t)W;
+      for (int y = 0; y < nlines; ++y) {
+        if (pos + nb > packed) {
+          set_error("truncated B44 chunk");
+          return false;
+        }
+        std::memcpy(raw.data() + (size_t)y * line_bytes + col_off[c],
+                    cp + pos, nb);
+        pos += nb;
+      }
+      continue;
+    }
+    uint16_t t[16];
+    for (int by = 0; by < ph; by += 4) {
+      for (int bx = 0; bx < pw; bx += 4) {
+        if (b44a && pos + 3 <= packed && cp[pos + 2] == 0xFC) {
+          uint16_t t0 = (uint16_t)((cp[pos] << 8) | cp[pos + 1]);
+          for (int i = 0; i < 16; ++i) t[i] = t0;
+          pos += 3;
+        } else {
+          if (pos + 14 > packed) {
+            set_error("truncated B44 chunk");
+            return false;
+          }
+          b44_unpack14(cp + pos, t);
+          pos += 14;
+        }
+        for (int r = 0; r < 4; ++r)
+          for (int cc = 0; cc < 4; ++cc)
+            vals[(size_t)(by + r) * pw + bx + cc] =
+                b44_untransform(t[4 * r + cc]);
+      }
+    }
+    for (int y = 0; y < nlines; ++y)
+      std::memcpy(raw.data() + (size_t)y * line_bytes + col_off[c],
+                  vals.data() + (size_t)y * pw, 2 * (size_t)W);
+  }
+  return true;
 }
 
 // ---------------------------------------------------------------------
@@ -844,6 +935,13 @@ bool decode_exr(const char *path, float *out, int exp_w, int exp_h,
       std::vector<int> chan_types(nch);
       for (int c = 0; c < nch; ++c) chan_types[c] = h.channels[c].pixel_type;
       if (!pxr24_uncompress_chunk(cp, packed, chan_types, W, nlines, raw))
+        return false;
+      data_ptr = raw.data();
+    } else if (h.compression == 6 || h.compression == 7) {
+      std::vector<int> chan_types(nch);
+      for (int c = 0; c < nch; ++c) chan_types[c] = h.channels[c].pixel_type;
+      if (!b44_uncompress_chunk(cp, packed, chan_types, W, nlines,
+                                h.compression == 7, raw))
         return false;
       data_ptr = raw.data();
     } else {

@@ -137,3 +137,58 @@ def test_native_rejects_corrupt_piz(tmp_path):
     open(q, "wb").write(bytes(data))
     with pytest.raises(Exception):
         native.read_exr(q)
+
+
+# ------------------------------------------------------------------ B44
+
+
+@pytest.mark.parametrize("b44a", [False, True])
+def test_b44_roundtrip_exact_on_smooth(tmp_path, b44a):
+    """Shift-0 blocks (tiny gradients) round-trip exactly."""
+    from bmfr_tpu.io.exr_py import write_exr_b44
+
+    img = (0.5 + np.linspace(0, 0.002, 40 * 52 * 3)
+           .reshape(40, 52, 3)).astype(np.float32)
+    p = os.path.join(tmp_path, "t.exr")
+    write_exr_b44(p, img, b44a=b44a)
+    back = read_exr_py(p)
+    assert np.array_equal(back, img.astype(np.float16).astype(np.float32))
+
+
+def test_b44a_flat_blocks(tmp_path):
+    from bmfr_tpu.io.exr_py import write_exr_b44
+
+    img = np.full((36, 36, 3), 0.5, np.float32)
+    p = os.path.join(tmp_path, "t.exr")
+    write_exr_b44(p, img, b44a=True)
+    assert np.array_equal(read_exr_py(p), img)
+    # flat blocks are 3 bytes -> far smaller than 14-byte packing
+    assert os.path.getsize(p) < 36 * 36 * 3 * 2 // 4
+
+
+def test_b44_lossy_bounded(tmp_path):
+    """B44 is lossy on rough data; error stays bounded (quantized
+    deltas), never wild."""
+    from bmfr_tpu.io.exr_py import write_exr_b44
+
+    rng = np.random.default_rng(5)
+    img = rng.random((36, 40, 3)).astype(np.float32)
+    p = os.path.join(tmp_path, "t.exr")
+    write_exr_b44(p, img)
+    back = read_exr_py(p)
+    assert np.abs(back - img.astype(np.float16).astype(np.float32)).max() < 0.5
+
+
+@pytest.mark.skipif(not HAVE_NATIVE, reason="native IO unavailable")
+@pytest.mark.parametrize("b44a", [False, True])
+def test_b44_native_matches_python(tmp_path, b44a):
+    from bmfr_tpu.io.exr_py import write_exr_b44
+
+    rng = np.random.default_rng(6)
+    for img in [(0.5 + np.linspace(0, 0.002, 40 * 52 * 3)
+                 .reshape(40, 52, 3)).astype(np.float32),
+                rng.random((70, 60, 3)).astype(np.float32)]:
+        p = os.path.join(tmp_path, "t.exr")
+        from bmfr_tpu.io.exr_py import write_exr_b44 as w
+        w(p, img, b44a=b44a)
+        assert np.array_equal(read_exr_py(p), native.read_exr(p))
