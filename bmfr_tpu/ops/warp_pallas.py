@@ -64,16 +64,19 @@ from jax.experimental.pallas import tpu as pltpu
 TH = 16
 TC = 256
 
-#: Select-depth size classes (per tile, chosen by its displacement
-#: spread). A pixel is kernel-covered when its row selector s is in
-#: [0, y_cap) and its column selector t is in [0, x_cap); tiles wilder
-#: than the largest class push their outlier pixels to the fix-up path.
-Y_CLASSES = (4, 8, 16, 38)
-X_CLASSES = (4, 8, 16, 48)
+#: Fixed select depths. A pixel is kernel-covered when its row selector
+#: s is in [0, KY) and its column selector t is in [0, KX); the in-kernel
+#: dynamic sublane/lane rolls remove the DMA-alignment slack, so these
+#: cover the measured p99 per-tile displacement spread (~13 y / ~19 x on
+#: real fields needs KX wiggle; outliers go to the fix-up path). Depth is
+#: static because Mosaic flattens data-dependent vector branches — an
+#: adaptive lax.switch pays every class for every tile (measured).
+KY = 16
+KX = 20
 
-#: Window extents: rows = TH + max(Y_CLASSES) + row1 slot + alignment,
-#: lanes = TC + max(X_CLASSES) + 128-alignment slack + padding.
-WH = 56
+#: Window extents: rows >= TH + KY + row1 slot + 8-alignment slack,
+#: lanes >= TC + KX + 128-alignment slack + roll headroom.
+WH = 48
 TW = 512
 
 #: Top padding of the source in rows: guarantees the padded row index
@@ -105,10 +108,9 @@ class _WarpPlan(NamedTuple):
     src_pad: jnp.ndarray    # [C, Hp, Wp] i32 packed source, zero-padded
     sel: jnp.ndarray        # [NT*2*TH, TW] i32: per tile, u rows then t rows
     wo: jnp.ndarray         # [NT] i32 window row origins (8-aligned)
-    xo128: jnp.ndarray      # [NT] i32 window lane origins (128-aligned)
+    xo128: jnp.ndarray      # [NT] i32 window lane DMA origins (128-aligned)
     ra: jnp.ndarray         # [NT] i32 lane roll amounts in [0, 127]
-    cls_y: jnp.ndarray      # [NT] i32 class index into Y_CLASSES
-    cls_x: jnp.ndarray      # [NT] i32 class index into X_CLASSES
+    resid: jnp.ndarray      # [NT] i32 sublane roll amounts in [0, 7]
     uncovered: jnp.ndarray  # [H, W] bool — needs the fix-up path
     n_uncovered: jnp.ndarray  # [] i32
 
@@ -177,51 +179,40 @@ def _plan(src_packed, iy, ix):
 
     dmin = tmin(dt)                                   # [NT]
     wo = jnp.clip(dmin & ~i32(7), 0, Hp - WH)
+    resid = dmin - wo                                 # [0, 7]
     # column origin may be negative (leftward motion); the left padding
     # keeps the 128-aligned DMA origin in range
     xo = jnp.clip(tmin(dxt), -P_L, Wp - P_L - TW)
     xo128 = jnp.clip(xo & ~i32(127), -P_L, Wp - P_L - TW)
     ra = xo - xo128                                   # [0, 127]
 
-    wo_t = wo[:, None, None]
+    dmin_t = dmin[:, None, None]
     xo_t = xo[:, None, None]
-    s = jnp.where(vt, dt - wo_t, -1)                  # [NT, TH, TC]
+    # the kernel's sublane/lane rolls remove the alignment slack, so the
+    # selectors are relative to the exact per-tile minima
+    s = jnp.where(vt, dt - dmin_t, -1)                # [NT, TH, TC]
     t = jnp.where(vt, dxt - xo_t, -1)
 
-    y_caps = jnp.asarray(Y_CLASSES, i32)
-    x_caps = jnp.asarray(X_CLASSES, i32)
-    s_for_cls = jnp.where(vt & (s >= 0) & (s < Y_CLASSES[-1]), s, -1)
-    t_for_cls = jnp.where(vt & (t >= 0) & (t < X_CLASSES[-1]), t, -1)
-    s_max = jnp.max(s_for_cls.reshape(NT, -1), axis=1)
-    t_max = jnp.max(t_for_cls.reshape(NT, -1), axis=1)
-    cls_y = jnp.searchsorted(y_caps, s_max + 1)       # first cap > s_max
-    cls_x = jnp.searchsorted(x_caps, t_max + 1)
-    cap_y = y_caps[cls_y][:, None, None]
-    cap_x = x_caps[cls_x][:, None, None]
-
-    in_win = vt & (s >= 0) & (s < cap_y) & (t >= 0) & (t < cap_x)
+    in_win = vt & (s >= 0) & (s < KY) & (t >= 0) & (t < KX)
 
     # Row-selector scatter: u[loc, lx + t] = s of the claiming pixel.
-    # Static lane shifts over the class-x range; claims never cross tile
-    # boundaries (positions lx + t <= TC - 1 + max(X_CLASSES)).
-    SW = TC + X_CLASSES[-1]
+    # Static lane shifts over the column depth; claims never cross tile
+    # boundaries (positions lx + t <= TC - 1 + KX).
+    SW = TC + KX
     sclaim = jnp.where(in_win, s, -1)
     spad = jnp.pad(sclaim, ((0, 0), (0, 0), (0, SW - TC)),
                    constant_values=-1)
     tpad = jnp.pad(jnp.where(in_win, t, -1),
                    ((0, 0), (0, 0), (0, SW - TC)), constant_values=-1)
     u = jnp.full((NT, TH, SW), -1, i32)
-    umin = jnp.full((NT, TH, SW), _BIG, i32)
-    for j in range(X_CLASSES[-1]):
+    for j in range(KX):
         cj = jnp.where(tpad == j, spad, -1)
-        sh = _shift_lanes(cj, j, i32(-1))
-        u = jnp.maximum(u, sh)
-        umin = jnp.minimum(umin, jnp.where(sh >= 0, sh, _BIG))
+        u = jnp.maximum(u, _shift_lanes(cj, j, i32(-1)))
 
     # Per-pixel claim consistency: the kernel serves position lx + t with
     # u there; a pixel whose s lost the claim goes to fix-up.
     u_at = jnp.full((NT, TH, SW), -1, i32)
-    for j in range(X_CLASSES[-1]):
+    for j in range(KX):
         u_at = jnp.where(tpad == j, _unshift_lanes(u, j, i32(-1)), u_at)
     served = in_win & (u_at[:, :, :TC] == s)
 
@@ -243,12 +234,12 @@ def _plan(src_packed, iy, ix):
     # the kernel's DMA lane origin is in padded coordinates
     return _WarpPlan(src_pad=src_pad, sel=sel, wo=wo,
                      xo128=(xo128 + P_L).astype(i32), ra=ra.astype(i32),
-                     cls_y=cls_y.astype(i32), cls_x=cls_x.astype(i32),
+                     resid=resid.astype(i32),
                      uncovered=uncovered, n_uncovered=n_uncovered)
 
 
 def _warp_kernel(C, nty, ntx,
-                 wo_ref, ra_ref, cy_ref, cx_ref,
+                 wo_ref, ra_ref, resid_ref,
                  src_hbm, sel_hbm, out_hbm,
                  win, sel, stage, sem_w, sem_s, sem_o):
     NT = nty * ntx
@@ -265,39 +256,28 @@ def _warp_kernel(C, nty, ntx,
         dw.wait()
         ds.wait()
 
+        # two dynamic rolls remove the DMA-alignment slack, aligning the
+        # window to the tile's exact minimum displacement in both axes
         ra = ra_ref[i]
+        rs = resid_ref[i]
         winr = pltpu.roll(win[...], shift=TW - ra, axis=2)
+        winr = pltpu.roll(winr, shift=WH - rs, axis=1)
         u = sel[0:TH][None]
         t = sel[TH:2 * TH, :TC][None]
 
-        def y_branch(cap):
-            def go(_):
-                acc0 = jnp.zeros((C, TH, TW), jnp.int32)
-                acc1 = jnp.zeros((C, TH, TW), jnp.int32)
-                for k in range(cap):
-                    cmp = u == k
-                    acc0 = jnp.where(cmp, winr[:, k:k + TH, :], acc0)
-                    acc1 = jnp.where(cmp, winr[:, k + 1:k + 1 + TH, :],
-                                     acc1)
-                return acc0, acc1
-            return go
+        acc0 = jnp.zeros((C, TH, TW), jnp.int32)
+        acc1 = jnp.zeros((C, TH, TW), jnp.int32)
+        for k in range(KY):
+            cmp = u == k
+            acc0 = jnp.where(cmp, winr[:, k:k + TH, :], acc0)
+            acc1 = jnp.where(cmp, winr[:, k + 1:k + 1 + TH, :], acc1)
 
-        acc0, acc1 = jax.lax.switch(
-            cy_ref[i], [y_branch(c) for c in Y_CLASSES], None)
-
-        def x_branch(cap):
-            def go(_):
-                o0 = jnp.zeros((C, TH, TC), jnp.int32)
-                o1 = jnp.zeros((C, TH, TC), jnp.int32)
-                for j in range(cap):
-                    cmpj = t == j
-                    o0 = jnp.where(cmpj, acc0[:, :, j:j + TC], o0)
-                    o1 = jnp.where(cmpj, acc1[:, :, j:j + TC], o1)
-                return o0, o1
-            return go
-
-        o0, o1 = jax.lax.switch(
-            cx_ref[i], [x_branch(c) for c in X_CLASSES], None)
+        o0 = jnp.zeros((C, TH, TC), jnp.int32)
+        o1 = jnp.zeros((C, TH, TC), jnp.int32)
+        for j in range(KX):
+            cmpj = t == j
+            o0 = jnp.where(cmpj, acc0[:, :, j:j + TC], o0)
+            o1 = jnp.where(cmpj, acc1[:, :, j:j + TC], o1)
         stage[0] = o0
         stage[1] = o1
 
@@ -349,7 +329,7 @@ def warp_rows_pallas(src_packed, iy, ix, *, fixup_k=FIXUP_K,
         out = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((2, C, Hk, Wk), jnp.int32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
             + [pl.BlockSpec(memory_space=pl.ANY)] * 2,
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
@@ -364,20 +344,24 @@ def warp_rows_pallas(src_packed, iy, ix, *, fixup_k=FIXUP_K,
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(plan.wo, jnp.concatenate([plan.ra, plan.xo128]),
-          plan.cls_y, plan.cls_x, plan.src_pad, plan.sel)
-        row0k = out[0, :, :H, :W]
-        row1k = out[1, :, :H, :W]
+          plan.resid, plan.src_pad, plan.sel)
 
         # Compact fix-up: gather the uncovered pixels' exact values and
-        # scatter them over the kernel output (small K — measured
-        # ~0.2 ms gather + ~0.8 ms scatter at K=12288; PERF_NOTES.md).
-        idx = jnp.nonzero(plan.uncovered.ravel(), size=fixup_k,
-                          fill_value=0)[0].astype(i32)
-        v0 = src_flat[:, flat0[idx]]
-        v1 = src_flat[:, flat1[idx]]
-        r0 = row0k.reshape(C, H * W).at[:, idx].set(v0).reshape(C, H, W)
-        r1 = row1k.reshape(C, H * W).at[:, idx].set(v1).reshape(C, H, W)
-        return r0, r1
+        # scatter them over the kernel output in one fused 2C-channel
+        # scatter. Compaction via cumsum + binary search — jnp.nonzero's
+        # lowering scatter-adds one update per INPUT element (~8 ms for
+        # 921k pixels, traced); searchsorted costs ~log2(HW) K-sized
+        # gathers instead.
+        cs = jnp.cumsum(plan.uncovered.ravel().astype(i32))
+        n_unc = cs[-1]
+        idx = jnp.searchsorted(
+            cs, jnp.arange(1, fixup_k + 1, dtype=i32), side="left")
+        idx = jnp.where(jnp.arange(fixup_k) < n_unc, idx, 0).astype(i32)
+        v = jnp.concatenate(
+            [src_flat[:, flat0[idx]], src_flat[:, flat1[idx]]], axis=0)
+        rows = out[:, :, :H, :W].reshape(2 * C, H * W)
+        rows = rows.at[:, idx].set(v)
+        return rows[:C].reshape(C, H, W), rows[C:].reshape(C, H, W)
 
     def full_fallback(_):
         return (gather_planes(src_packed, iy, ix),
