@@ -91,9 +91,10 @@ P_T = 24
 P_L = 256
 
 #: Fix-up capacity: compacted uncovered pixels per frame. Real fields
-#: show ~8k conflicted + <1k missed pixels on steady frames
-#: (scripts/probe_fields.py); overflow falls back to the full gather.
-FIXUP_K = 12288
+#: show ~3.4-3.9k conflict/miss pixels on steady frames
+#: (scripts/bench_warp.py); the search and scatter both scale with K,
+#: and overflow falls back to the exact full gather — so 2x headroom.
+FIXUP_K = 8192
 
 _BIG = jnp.int32(2**30)
 

@@ -42,12 +42,15 @@ def xplane_report(cfg, state, inputs, cam, off, frame, reps=3,
     from .profiling import force, trace
 
     jfn = jax.jit(lambda *a: denoise_frame(cfg, *a)[1]["result"])
-    force(jfn(state, inputs, cam, off, frame))  # compile outside trace
+    args = (state, inputs, cam, off, frame)
+    compiled = jfn.lower(*args).compile()
+    force(jfn(*args))  # warm (also catches cache divergence)
     shutil.rmtree(logdir, ignore_errors=True)
     with trace(logdir):
         for _ in range(reps):
-            force(jfn(state, inputs, cam, off, frame))
-    per, other, total = xplane.stage_device_times(logdir)
+            force(jfn(*args))
+    per, other, total = xplane.stage_device_times(
+        logdir, hlo_text=compiled.as_text())
     print(f"Per-stage DEVICE time over {reps} frames "
           f"(xplane trace, ms/frame):")
     print(f"{'stage':<40}{'ms/frame':>12}")
@@ -88,17 +91,21 @@ def main(argv=None):
     cfg = BMFRConfig(image_width=W, image_height=H,
                      position_limit_squared=0.03, normal_limit_squared=0.5,
                      warp_mode=args.warp_mode).validate()
-    sc = synthetic_sequence(width=W, height=H, frames=2)
+    # profile a steady mid-sequence transition (the 0->1 transition of
+    # the synthetic scene is a camera teleport — it exercises the warp
+    # fallback, not the typical frame)
+    sc = synthetic_sequence(width=W, height=H, frames=5)
+    t = 4
     c = lambda a: jnp.asarray(np.moveaxis(a, -1, 0).astype(np.float32))
     normals, positions, noisy, albedo = (
-        c(sc["normals"][1]), c(sc["positions"][1]), c(sc["noisy"][1]),
-        c(sc["albedo"][1]))
-    pn, pp, pnz = (c(sc["normals"][0]), c(sc["positions"][0]),
-                   c(sc["noisy"][0]))
+        c(sc["normals"][t]), c(sc["positions"][t]), c(sc["noisy"][t]),
+        c(sc["albedo"][t]))
+    pn, pp, pnz = (c(sc["normals"][t - 1]), c(sc["positions"][t - 1]),
+                   c(sc["noisy"][t - 1]))
     pspp = jnp.ones((H, W), jnp.uint8)
-    cam = jnp.asarray(sc["camera_matrices"][0])
-    off = jnp.asarray(sc["pixel_offsets"][1])
-    frame = jnp.int32(1)
+    cam = jnp.asarray(sc["camera_matrices"][t - 1])
+    off = jnp.asarray(sc["pixel_offsets"][t])
+    frame = jnp.int32(t)
 
     if args.xplane:
         from .pipeline.denoise import FrameInputs

@@ -86,6 +86,25 @@ def _parse_event(buf, span):
     return md_id, offset_ps, dur_ps
 
 
+def exclusive_durations(events):
+    """events: [(name, offset_ps, dur_ps)] of ONE line. Control-flow ops
+    (cond/while) appear as parent events containing their body ops;
+    return per-event durations with contained child time subtracted."""
+    order = sorted(range(len(events)), key=lambda i: (events[i][1],
+                                                      -events[i][2]))
+    out = [list(e) + [e[2]] for e in events]  # name, off, dur, exclusive
+    stack = []
+    for i in order:
+        name, off, dur = events[i]
+        while stack and off >= events[stack[-1]][1] + events[stack[-1]][2]:
+            stack.pop()
+        if stack and off + dur <= (events[stack[-1]][1]
+                                   + events[stack[-1]][2]):
+            out[stack[-1]][3] -= dur   # direct parent loses child's time
+        stack.append(i)
+    return [(n, o, d, max(x, 0)) for n, o, d, x in out]
+
+
 def _parse_line(buf, span):
     name = ""
     events = []
@@ -144,37 +163,81 @@ def find_xplane_files(logdir):
         os.path.join(logdir, "plugins", "profile", "*", "*.xplane.pb")))
 
 
-def device_op_durations(logdir):
-    """All device-plane op events: list of (op_name, duration_ps)."""
+def device_op_durations(logdir, line_filter=("XLA Ops",),
+                        exclusive=True):
+    """Device-plane op events: list of (op_text, duration_ps).
+
+    Restricted to the "XLA Ops" line (module/overlay lines double-count
+    everything); with ``exclusive`` the durations of control-flow parent
+    events (cond/while) have their contained children subtracted so the
+    totals count device time exactly once.
+    """
     out = []
     for path in find_xplane_files(logdir):
         for name, lines, meta in parse_xspace(path):
             if "/device:TPU" not in name and "TPU" not in name.split()[0]:
                 continue
-            for _line_name, events in lines:
-                for md_id, _off, dur in events:
-                    out.append((meta.get(md_id, str(md_id)), dur))
+            for line_name, events in lines:
+                if line_filter and line_name not in line_filter:
+                    continue
+                named = [(meta.get(md, str(md)), off, dur)
+                         for md, off, dur in events]
+                if exclusive:
+                    for n, _o, _d, x in exclusive_durations(named):
+                        out.append((n, x))
+                else:
+                    for n, _o, d in named:
+                        out.append((n, d))
     return out
 
 
-def stage_device_times(logdir, scopes=STAGE_SCOPES):
-    """Aggregate device op durations by pipeline stage scope.
+def scope_map_from_hlo(hlo_text, scopes=STAGE_SCOPES):
+    """instruction name -> stage scope, parsed from compiled HLO text
+    (the trace's op events carry the HLO text but not the op_name
+    metadata; the metadata lives in the compiled module)."""
+    import re
 
-    Returns ``(per_stage_ms, other_ms, total_ms)`` where per_stage_ms is
-    an ordered dict scope -> milliseconds summed over all device ops
-    whose (scope-annotated) op name contains the scope string.
+    out = {}
+    for m in re.finditer(
+            r"%?([\w.\-]+) = [^\n]*?op_name=\"([^\"]*)\"", hlo_text):
+        inst, op_name = m.group(1), m.group(2)
+        for scope in scopes:
+            if scope in op_name:
+                out[inst] = scope
+                break
+    return out
+
+
+def _event_inst_name(op_text):
+    """'%fusion.23 = f32[...' -> 'fusion.23'."""
+    head = op_text.split(" ", 1)[0]
+    return head[1:] if head.startswith("%") else head
+
+
+def stage_device_times(logdir, scopes=STAGE_SCOPES, hlo_text=None):
+    """Aggregate exclusive device op durations by pipeline stage scope.
+
+    Attribution: the op's instruction name is looked up in the compiled
+    module's op_name metadata (``hlo_text``); ops without a match fall
+    back to substring search in the event text. Returns
+    ``(per_stage_ms, other_ms, total_ms)``.
     """
+    smap = scope_map_from_hlo(hlo_text, scopes) if hlo_text else {}
     per = defaultdict(float)
     other = 0.0
     total = 0.0
-    for op_name, dur_ps in device_op_durations(logdir):
+    for op_text, dur_ps in device_op_durations(logdir):
         ms = dur_ps / 1e9
         total += ms
-        for scope in scopes:
-            if scope in op_name:
-                per[scope] += ms
-                break
-        else:
+        scope = smap.get(_event_inst_name(op_text))
+        if scope is None:
+            for s in scopes:
+                if s in op_text:
+                    scope = s
+                    break
+        if scope is None:
             other += ms
+        else:
+            per[scope] += ms
     ordered = {s: per.get(s, 0.0) for s in scopes}
     return ordered, other, total
