@@ -43,7 +43,7 @@ def main():
     cfg = BMFRConfig(
         image_width=width, image_height=height,
         position_limit_squared=0.03, normal_limit_squared=0.5,
-        warp_mode=os.environ.get("BENCH_WARP_MODE", "packed_x_bf16"),
+        warp_mode=os.environ.get("BENCH_WARP_MODE", "pallas"),
     ).validate()
 
     print(f"[bench] generating {frames}-frame {width}x{height} synthetic "

@@ -219,3 +219,31 @@ def test_fixup_capacity_boundary():
     ix = ix.at[10:14, 10:14].set(150)
     n = check_match(src, iy, ix)
     assert 0 < n < 4096
+
+
+def test_pipeline_pallas_mode_matches_packed(tiny_cfg, tiny_scene):
+    """End-to-end: the full denoise sequence with warp_mode='pallas' must
+    equal warp_mode='packed_x_bf16' exactly — the kernel+fix-up+fallback
+    stack is bit-identical to the gather pair on every consumed tap."""
+    from conftest import to_chw
+    from bmfr_tpu.pipeline.denoise import FrameInputs, denoise_sequence
+
+    sc = tiny_scene
+    inputs = FrameInputs(
+        normals=jnp.asarray(np.stack([to_chw(f) for f in sc["normals"]])),
+        positions=jnp.asarray(
+            np.stack([to_chw(f) for f in sc["positions"]])),
+        noisy=jnp.asarray(np.stack([to_chw(f) for f in sc["noisy"]])),
+        albedo=jnp.asarray(np.stack([to_chw(f) for f in sc["albedo"]])),
+    )
+    cams = jnp.asarray(sc["camera_matrices"])
+    offs = jnp.asarray(sc["pixel_offsets"])
+
+    out_packed = denoise_sequence(
+        tiny_cfg.replace(warp_mode="packed_x_bf16").validate(),
+        inputs, cams, offs)
+    out_pallas = denoise_sequence(
+        tiny_cfg.replace(warp_mode="pallas").validate(),
+        inputs, cams, offs)
+    np.testing.assert_array_equal(np.asarray(out_packed),
+                                  np.asarray(out_pallas))
