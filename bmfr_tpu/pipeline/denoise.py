@@ -66,11 +66,22 @@ def denoise_frame(cfg, state: TemporalState, inputs: FrameInputs,
             cfg, inputs.positions, prev_cam, pixel_offset)
         ix = floor_int(pfx)
         iy = floor_int(pfy)
-        stacked = jnp.concatenate(
-            [state.positions, state.normals, state.noisy,
-             state.spp.astype(jnp.float32)[None], state.out, state.result],
-            axis=0)                                    # [16, H, W]
-        all_taps = gather_taps(stacked, iy, ix, mode=cfg.warp_mode)
+
+        # At frame 0 every consumer masks its taps out (no history), and
+        # the frame-0 pseudo-reprojection field is wild enough to push
+        # the Pallas warp into its whole-frame fallback — skip the fetch.
+        def fetch(_):
+            stacked = jnp.concatenate(
+                [state.positions, state.normals, state.noisy,
+                 state.spp.astype(jnp.float32)[None], state.out,
+                 state.result], axis=0)                # [16, H, W]
+            return gather_taps(stacked, iy, ix, mode=cfg.warp_mode)
+
+        def no_history(_):
+            H, W = cfg.image_height, cfg.image_width
+            return jnp.zeros((4, 16, H, W), jnp.float32)
+
+        all_taps = jax.lax.cond(frame > 0, fetch, no_history, None)
 
     with jax.named_scope("k1_accumulate_noisy"):
         k1 = accumulate_noisy_data(
