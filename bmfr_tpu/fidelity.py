@@ -30,6 +30,7 @@ def default_config_matrix(base: BMFRConfig):
         "cholesky": base.replace(solver="cholesky"),
         "tmp_f16": base.replace(tmp_data_dtype="float16"),
         "warp_packed": base.replace(warp_mode="packed_x_bf16"),
+        "warp_pallas": base.replace(warp_mode="pallas"),
         "no_taa": base.replace(skip_taa=True),
         "first_order": base.replace(
             features_scaled=("world_position_x", "world_position_y",

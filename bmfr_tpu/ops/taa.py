@@ -55,31 +55,36 @@ def taa(cfg, prev_pixels, new_frame, prev_result, frame, taps=None):
                 mx_cross = jnp.maximum(mx_cross, hi)
 
     # --- bilinear sample of previous result (opencl/bmfr.cl:922-960) ---
-    fx = pfx - ix.astype(f32)
-    fy = pfy - iy.astype(f32)
-    w00, w10, w01, w11 = bilinear_weights(fx, fy)
-    x_lo_ok = ix >= 0
-    x_hi_ok = ix < W - 1
-    y_lo_ok = iy >= 0
-    y_hi_ok = iy < H - 1
+    if isinstance(taps, dict):
+        # pre-blended sums from the fused Pallas warp
+        prev_color = taps["k5_result_sum"]
+        total_weight = taps["k5_weight"]
+    else:
+        fx = pfx - ix.astype(f32)
+        fy = pfy - iy.astype(f32)
+        w00, w10, w01, w11 = bilinear_weights(fx, fy)
+        x_lo_ok = ix >= 0
+        x_hi_ok = ix < W - 1
+        y_lo_ok = iy >= 0
+        y_hi_ok = iy < H - 1
 
-    if taps is None:
-        from .warp import gather_taps
+        if taps is None:
+            from .warp import gather_taps
 
-        taps = gather_taps(prev_result, iy, ix, mode=cfg.warp_mode)
-    tap_vals = taps
-    taps = (
-        (w00, y_lo_ok & x_lo_ok),
-        (w10, y_lo_ok & x_hi_ok),
-        (w01, y_hi_ok & x_lo_ok),
-        (w11, y_hi_ok & x_hi_ok),
-    )
-    prev_color = jnp.zeros_like(new_frame)
-    total_weight = jnp.zeros((H, W), f32)
-    for i, (wgt, ok) in enumerate(taps):
-        wm = jnp.where(ok, wgt, 0.0)
-        prev_color = prev_color + wm[None] * tap_vals[i]
-        total_weight = total_weight + wm
+            taps = gather_taps(prev_result, iy, ix, mode=cfg.warp_mode)
+        tap_vals = taps
+        taps = (
+            (w00, y_lo_ok & x_lo_ok),
+            (w10, y_lo_ok & x_hi_ok),
+            (w01, y_hi_ok & x_lo_ok),
+            (w11, y_hi_ok & x_hi_ok),
+        )
+        prev_color = jnp.zeros_like(new_frame)
+        total_weight = jnp.zeros((H, W), f32)
+        for i, (wgt, ok) in enumerate(taps):
+            wm = jnp.where(ok, wgt, 0.0)
+            prev_color = prev_color + wm[None] * tap_vals[i]
+            total_weight = total_weight + wm
 
     safe_tw = jnp.where(total_weight > 0.0, total_weight, 1.0)
     prev_color = prev_color / safe_tw[None]

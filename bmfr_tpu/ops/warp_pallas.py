@@ -295,6 +295,283 @@ def _warp_kernel(C, nty, ntx,
     jax.lax.fori_loop(0, NT, body, 0)
 
 
+def _bf16_lo(u):
+    """Low bf16 half of a packed i32 word -> f32 (bit placement)."""
+    return jax.lax.bitcast_convert_type(
+        (u.astype(jnp.uint32) & jnp.uint32(0xFFFF)) << 16, jnp.float32)
+
+
+def _bf16_hi(u):
+    return jax.lax.bitcast_convert_type(
+        u.astype(jnp.uint32) & jnp.uint32(0xFFFF0000), jnp.float32)
+
+
+#: Output plane indices of the fused blend (see blend_from_rows).
+BLEND_PLANES = 13
+
+
+def blend_from_rows(cfg, row0, row1, cur6, bits, fx, fy):
+    """The fused temporal-blend math: resolved packed rows -> the 13
+    per-stage blend planes. Shared verbatim between the Pallas kernel
+    (in-VMEM), the compact fix-up, and the whole-frame fallback, so all
+    three paths agree bitwise.
+
+    row0/row1: i32 ``[16, ...]`` x-pair-packed words at the tap rows
+    (prev positions 0:3, normals 3:6, noisy 6:9, spp 9, out 10:13,
+    result 13:16 — the pipeline's recurrent stack order).
+    cur6: f32 ``[6, ...]`` current positions 0:3 + normals 3:6.
+    bits: i32 mask bitfield — 0..3 K1 tap in-bounds, 4..7 K5 tap masks,
+    8 the ix<0 packed-pair edge select. fx/fy: f32 bilinear fractions.
+
+    Output planes: 0-2 K1 weighted prev-color sum, 3 K1 spp sum,
+    4 K1/K4 total weight, 5 accept bits, 6-8 K4 weighted out sum,
+    9-11 K5 weighted result sum, 12 K5 total weight. Divisions and
+    alphas stay downstream (bmfr.cl:421-445, :836-849, :922-967).
+
+    Don't-care domain: at pixels whose reprojection is fully off screen
+    (ix/iy < -1 or >= W/H) the K5 sums may differ between the kernel
+    (zero padding) and a clipped-gather evaluation — taa's off_screen
+    passthrough discards them either way (opencl/bmfr.cl:884-890).
+    """
+    f32 = jnp.float32
+    neg = (bits >> 8) & 1
+    lo0, hi0 = _bf16_lo(row0), _bf16_hi(row0)
+    lo1, hi1 = _bf16_lo(row1), _bf16_hi(row1)
+    negb = (neg > 0)[None]
+    taps = (lo0, jnp.where(negb, lo0, hi0),
+            lo1, jnp.where(negb, lo1, hi1))
+
+    w = ((1.0 - fx) * (1.0 - fy), fx * (1.0 - fy),
+         (1.0 - fx) * fy, fx * fy)
+
+    shape = row0.shape[1:]
+    pc = jnp.zeros((3,) + shape, f32)
+    spp_sum = jnp.zeros(shape, f32)
+    tw = jnp.zeros(shape, f32)
+    accept = jnp.zeros(shape, jnp.int32)
+    k4 = jnp.zeros((3,) + shape, f32)
+    k5 = jnp.zeros((3,) + shape, f32)
+    k5w = jnp.zeros(shape, f32)
+    pos_lim = f32(cfg.position_limit_squared)
+    nrm_lim = f32(cfg.normal_limit_squared)
+
+    for i in range(4):
+        t = taps[i]
+        inb = ((bits >> i) & 1) > 0
+        pd = t[0:3] - cur6[0:3]
+        nd = t[3:6] - cur6[3:6]
+        ok = (inb
+              & ((pd[0] * pd[0] + pd[1] * pd[1] + pd[2] * pd[2])
+                 < pos_lim)
+              & ((nd[0] * nd[0] + nd[1] * nd[1] + nd[2] * nd[2])
+                 < nrm_lim))
+        wgt = jnp.where(ok, w[i], 0.0)
+        pc = pc + wgt[None] * t[6:9]
+        spp_sum = spp_sum + wgt * t[9]
+        tw = tw + wgt
+        accept = accept | jnp.where(ok, jnp.int32(1 << i), 0)
+        k4 = k4 + wgt[None] * t[10:13]
+        wm = jnp.where(((bits >> (4 + i)) & 1) > 0, w[i], 0.0)
+        k5 = k5 + wm[None] * t[13:16]
+        k5w = k5w + wm
+
+    return jnp.concatenate([
+        pc, spp_sum[None], tw[None], accept.astype(f32)[None],
+        k4, k5, k5w[None]], axis=0)
+
+
+def _mask_bits(iy, ix, H, W):
+    """The per-pixel mask bitfield consumed by blend_from_rows."""
+    i32 = jnp.int32
+    bits = jnp.zeros(iy.shape, i32)
+    from .gather import TAP_OFFSETS, in_bounds
+
+    for i, (dx, dy) in enumerate(TAP_OFFSETS):
+        bits |= jnp.where(in_bounds(iy + dy, ix + dx, H, W),
+                          i32(1 << i), 0)
+    # K5's tap masks (taa's border logic, opencl/bmfr.cl:929-960)
+    x_lo = ix >= 0
+    x_hi = ix < W - 1
+    y_lo = iy >= 0
+    y_hi = iy < H - 1
+    for i, m in enumerate((y_lo & x_lo, y_lo & x_hi,
+                           y_hi & x_lo, y_hi & x_hi)):
+        bits |= jnp.where(m, i32(1 << (4 + i)), 0)
+    bits |= jnp.where(ix < 0, i32(1 << 8), 0)
+    return bits
+
+
+def _blend_kernel(cfg, C, nty, ntx,
+                  wo_ref, ra_ref, resid_ref,
+                  src_hbm, sel_hbm, cur_hbm, out_hbm,
+                  win, sel, cur, stage, sem_w, sem_s, sem_c, sem_o):
+    NT = nty * ntx
+
+    def body(i, _):
+        wo = pl.multiple_of(wo_ref[i], 8)
+        xo = pl.multiple_of(ra_ref[NT + i], 128)
+        dw = pltpu.make_async_copy(
+            src_hbm.at[:, pl.ds(wo, WH), pl.ds(xo, TW)], win, sem_w)
+        dw.start()
+        ds = pltpu.make_async_copy(
+            sel_hbm.at[pl.ds(i * 5 * TH, 5 * TH), :], sel, sem_s)
+        ds.start()
+        ty = i // ntx
+        tx = i % ntx
+        dc = pltpu.make_async_copy(
+            cur_hbm.at[:, pl.ds(ty * TH, TH), pl.ds(tx * TC, TC)], cur,
+            sem_c)
+        dc.start()
+        dw.wait()
+        ds.wait()
+        dc.wait()
+
+        ra = ra_ref[i]
+        rs = resid_ref[i]
+        winr = pltpu.roll(win[...], shift=TW - ra, axis=2)
+        winr = pltpu.roll(winr, shift=WH - rs, axis=1)
+        u = sel[0:TH][None]
+        t = sel[TH:2 * TH, :TC][None]
+
+        acc0 = jnp.zeros((C, TH, TW), jnp.int32)
+        acc1 = jnp.zeros((C, TH, TW), jnp.int32)
+        for k in range(KY):
+            cmp = u == k
+            acc0 = jnp.where(cmp, winr[:, k:k + TH, :], acc0)
+            acc1 = jnp.where(cmp, winr[:, k + 1:k + 1 + TH, :], acc1)
+
+        o0 = jnp.zeros((C, TH, TC), jnp.int32)
+        o1 = jnp.zeros((C, TH, TC), jnp.int32)
+        for j in range(KX):
+            cmpj = t == j
+            o0 = jnp.where(cmpj, acc0[:, :, j:j + TC], o0)
+            o1 = jnp.where(cmpj, acc1[:, :, j:j + TC], o1)
+
+        fxp = jax.lax.bitcast_convert_type(
+            sel[2 * TH:3 * TH, :TC], jnp.float32)
+        fyp = jax.lax.bitcast_convert_type(
+            sel[3 * TH:4 * TH, :TC], jnp.float32)
+        bits = sel[4 * TH:5 * TH, :TC]
+        stage[...] = blend_from_rows(cfg, o0, o1, cur[...], bits, fxp,
+                                     fyp)
+
+        do = pltpu.make_async_copy(
+            stage,
+            out_hbm.at[:, pl.ds(ty * TH, TH), pl.ds(tx * TC, TC)],
+            sem_o)
+        do.start()
+        do.wait()
+        return 0
+
+    jax.lax.fori_loop(0, NT, body, 0)
+
+
+def warp_blend_pallas(cfg, stacked, cur6, pfx, pfy, *, fixup_k=FIXUP_K,
+                      interpret=None):
+    """Fused temporal warp + per-stage blend.
+
+    stacked: f32 ``[16, H, W]`` recurrent channels (pipeline stack
+    order); cur6: f32 ``[6, H, W]`` current positions+normals;
+    pfx/pfy: the reprojected coordinates. Returns the 13 blend planes
+    of :func:`blend_from_rows` as f32 ``[13, H, W]``.
+
+    Same three-tier exactness contract as :func:`warp_rows_pallas`,
+    applied to the blended outputs: kernel for covered pixels, compact
+    fix-up, whole-frame XLA fallback on overflow — every path runs
+    blend_from_rows on bit-identical resolved rows.
+    """
+    from .gather import floor_int, gather_planes
+    from .warp import pack_x_pairs_bf16
+
+    i32 = jnp.int32
+    C = stacked.shape[0]
+    H, W = stacked.shape[1:]
+    ix = floor_int(pfx)
+    iy = floor_int(pfy)
+    fx = pfx - ix.astype(jnp.float32)
+    fy = pfy - iy.astype(jnp.float32)
+    bits = _mask_bits(iy, ix, H, W)
+
+    src_packed = pack_x_pairs_bf16(stacked)
+    nty, ntx = -(-H // TH), -(-W // TC)
+    Hk, Wk = nty * TH, ntx * TC
+    plan = _plan(src_packed, iy, ix)
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    # selector block per tile: u, t, fx, fy, mask bits (f32 planes ride
+    # bitcast through the i32 transport)
+    fx_t = jnp.pad(jax.lax.bitcast_convert_type(
+        _tiles(fx, nty, ntx, 0.0), jnp.int32),
+        ((0, 0), (0, 0), (0, TW - TC)))
+    fy_t = jnp.pad(jax.lax.bitcast_convert_type(
+        _tiles(fy, nty, ntx, 0.0), jnp.int32),
+        ((0, 0), (0, 0), (0, TW - TC)))
+    bits_t = jnp.pad(_tiles(bits, nty, ntx, 0),
+                     ((0, 0), (0, 0), (0, TW - TC)))
+    sel5 = jnp.concatenate([
+        plan.sel.reshape(nty * ntx, 2 * TH, TW), fx_t, fy_t, bits_t,
+        ], axis=1).reshape(nty * ntx * 5 * TH, TW)
+
+    cur_pad = jnp.pad(cur6, ((0, 0), (0, Hk - H), (0, Wk - W)))
+
+    kernel = functools.partial(_blend_kernel, cfg, C, nty, ntx)
+
+    iy0 = jnp.clip(iy, 0, H - 1)
+    iy1 = jnp.clip(iy + 1, 0, H - 1)
+    ixc = jnp.clip(ix, 0, W - 1)
+    flat0 = (iy0 * W + ixc).ravel()
+    flat1 = (iy1 * W + ixc).ravel()
+    src_flat = src_packed.reshape(C, H * W)
+
+    def with_fixup(_):
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((BLEND_PLANES, Hk, Wk),
+                                           jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+            + [pl.BlockSpec(memory_space=pl.ANY)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((C, WH, TW), jnp.int32),
+                pltpu.VMEM((5 * TH, TW), jnp.int32),
+                pltpu.VMEM((6, TH, TC), jnp.float32),
+                pltpu.VMEM((BLEND_PLANES, TH, TC), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(plan.wo, jnp.concatenate([plan.ra, plan.xo128]),
+          plan.resid, plan.src_pad, sel5, cur_pad)
+        blended = out[:, :H, :W]
+
+        cs = jnp.cumsum(plan.uncovered.ravel().astype(i32))
+        n_unc = cs[-1]
+        idx = jnp.searchsorted(
+            cs, jnp.arange(1, fixup_k + 1, dtype=i32), side="left")
+        idx = jnp.where(jnp.arange(fixup_k) < n_unc, idx, 0).astype(i32)
+        r0 = src_flat[:, flat0[idx]]
+        r1 = src_flat[:, flat1[idx]]
+        fix = blend_from_rows(
+            cfg, r0, r1, cur6.reshape(6, H * W)[:, idx],
+            bits.ravel()[idx], fx.ravel()[idx], fy.ravel()[idx])
+        return (blended.reshape(BLEND_PLANES, H * W)
+                .at[:, idx].set(fix).reshape(BLEND_PLANES, H, W))
+
+    def full_fallback(_):
+        r0 = gather_planes(src_packed, iy, ix)
+        r1 = gather_planes(src_packed, iy + 1, ix)
+        return blend_from_rows(cfg, r0, r1, cur6, bits, fx, fy)
+
+    return jax.lax.cond(plan.n_uncovered <= fixup_k, with_fixup,
+                        full_fallback, None)
+
+
 def warp_rows_pallas(src_packed, iy, ix, *, fixup_k=FIXUP_K,
                      interpret=None):
     """Clipped row-pair gather of an x-pair-packed source.

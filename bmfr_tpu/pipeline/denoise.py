@@ -61,33 +61,61 @@ def denoise_frame(cfg, state: TemporalState, inputs: FrameInputs,
     # named scopes flow into the compiled op names so xplane traces can
     # attribute device time per stage (bmfr_tpu/xplane.py; the analogue
     # of the reference's per-kernel CL event timers, bmfr.cpp:386-412)
+    H, W = cfg.image_height, cfg.image_width
+    fused = cfg.warp_mode == "pallas"
     with jax.named_scope("warp_taps"):
         pfx, pfy = reproject_coords(
             cfg, inputs.positions, prev_cam, pixel_offset)
         ix = floor_int(pfx)
         iy = floor_int(pfy)
 
-        # At frame 0 every consumer masks its taps out (no history), and
-        # the frame-0 pseudo-reprojection field is wild enough to push
-        # the Pallas warp into its whole-frame fallback — skip the fetch.
-        def fetch(_):
-            stacked = jnp.concatenate(
+        def stack_state():
+            return jnp.concatenate(
                 [state.positions, state.normals, state.noisy,
                  state.spp.astype(jnp.float32)[None], state.out,
                  state.result], axis=0)                # [16, H, W]
-            return gather_taps(stacked, iy, ix, mode=cfg.warp_mode)
 
-        def no_history(_):
-            H, W = cfg.image_height, cfg.image_width
-            return jnp.zeros((4, 16, H, W), jnp.float32)
+        # At frame 0 every consumer masks its taps out (no history), and
+        # the frame-0 pseudo-reprojection field is wild enough to push
+        # the Pallas warp into its whole-frame fallback — skip the fetch.
+        if fused:
+            from ..ops.warp_pallas import BLEND_PLANES, warp_blend_pallas
 
-        all_taps = jax.lax.cond(frame > 0, fetch, no_history, None)
+            def fetch(_):
+                cur6 = jnp.concatenate(
+                    [inputs.positions, inputs.normals], axis=0)
+                return warp_blend_pallas(cfg, stack_state(), cur6,
+                                         pfx, pfy)
+
+            def no_history(_):
+                return jnp.zeros((BLEND_PLANES, H, W), jnp.float32)
+
+            planes = jax.lax.cond(frame > 0, fetch, no_history, None)
+            pre = dict(
+                k1_color_sum=planes[0:3], k1_spp_sum=planes[3],
+                total_weight=planes[4],
+                accept=planes[5].astype(jnp.uint8),
+                k4_out_sum=planes[6:9], k5_result_sum=planes[9:12],
+                k5_weight=planes[12])
+            taps_k1 = taps_k4 = taps_k5 = pre
+        else:
+            def fetch(_):
+                return gather_taps(stack_state(), iy, ix,
+                                   mode=cfg.warp_mode)
+
+            def no_history(_):
+                return jnp.zeros((4, 16, H, W), jnp.float32)
+
+            all_taps = jax.lax.cond(frame > 0, fetch, no_history, None)
+            taps_k1 = all_taps[:, 0:10]
+            taps_k4 = all_taps[:, 10:13]
+            taps_k5 = all_taps[:, 13:16]
 
     with jax.named_scope("k1_accumulate_noisy"):
         k1 = accumulate_noisy_data(
             cfg, inputs.normals, inputs.positions, inputs.noisy,
             state.normals, state.positions, state.noisy, state.spp,
-            prev_cam, pixel_offset, frame, taps=all_taps[:, 0:10])
+            prev_cam, pixel_offset, frame, taps=taps_k1)
 
     with jax.named_scope("k2_blockify"):
         tmp = build_feature_blocks(
@@ -103,11 +131,11 @@ def denoise_frame(cfg, state: TemporalState, inputs: FrameInputs,
     with jax.named_scope("k4_accumulate_filtered"):
         out, tone = accumulate_filtered_data(
             cfg, filtered, k1["prev_pixels"], k1["accept"], inputs.albedo,
-            k1["spp"], state.out, frame, taps=all_taps[:, 10:13])
+            k1["spp"], state.out, frame, taps=taps_k4)
 
     with jax.named_scope("k5_taa"):
         result = taa(cfg, k1["prev_pixels"], tone, state.result, frame,
-                     taps=all_taps[:, 13:16])
+                     taps=taps_k5)
 
     new_state = TemporalState(
         normals=inputs.normals,

@@ -221,10 +221,47 @@ def test_fixup_capacity_boundary():
     assert 0 < n < 4096
 
 
-def test_pipeline_pallas_mode_matches_packed(tiny_cfg, tiny_scene):
-    """End-to-end: the full denoise sequence with warp_mode='pallas' must
-    equal warp_mode='packed_x_bf16' exactly — the kernel+fix-up+fallback
-    stack is bit-identical to the gather pair on every consumed tap."""
+def test_warp_blend_matches_reference_blend(tiny_cfg):
+    """warp_blend_pallas == blend_from_rows on XLA-gathered rows, for a
+    real-ish coordinate field (unit check of the fused kernel path)."""
+    from bmfr_tpu.ops.warp import pack_x_pairs_bf16
+    from bmfr_tpu.ops.warp_pallas import (blend_from_rows, _mask_bits,
+                                          warp_blend_pallas)
+    from bmfr_tpu.ops.gather import floor_int, gather_planes
+
+    rng = np.random.default_rng(21)
+    Ht, Wt = 48, 160
+    cfg = tiny_cfg.replace(image_height=Ht, image_width=Wt).validate()
+    stacked = jnp.asarray(
+        rng.standard_normal((16, Ht, Wt)).astype(np.float32))
+    cur6 = jnp.asarray(rng.standard_normal((6, Ht, Wt)).astype(np.float32))
+    yy = np.arange(Ht)[:, None] + np.zeros((1, Wt))
+    xx = np.arange(Wt)[None, :] + np.zeros((Ht, 1))
+    pfy = jnp.asarray((yy + 2.3 + xx * 0.01).astype(np.float32))
+    pfx = jnp.asarray((xx - 1.7 + yy * 0.02).astype(np.float32))
+
+    got = jax.jit(lambda *a: warp_blend_pallas(cfg, *a))(
+        stacked, cur6, pfx, pfy)
+
+    src = pack_x_pairs_bf16(stacked)
+    iy = floor_int(pfy)
+    ix = floor_int(pfx)
+    fx = pfx - ix.astype(jnp.float32)
+    fy = pfy - iy.astype(jnp.float32)
+    want = blend_from_rows(
+        cfg, gather_planes(src, iy, ix), gather_planes(src, iy + 1, ix),
+        cur6, _mask_bits(iy, ix, Ht, Wt), fx, fy)
+    # fully-off-screen pixels are don't-cares for the K5 planes (taa's
+    # passthrough discards them — see blend_from_rows docstring)
+    on = np.asarray((ix >= -1) & (iy >= -1) & (ix < Wt) & (iy < Ht))[None]
+    np.testing.assert_allclose(
+        np.where(on, np.asarray(got), 0), np.where(on, np.asarray(want), 0),
+        rtol=1e-6, atol=1e-6)
+
+
+def test_pipeline_fused_pallas_matches_packed(tiny_cfg, tiny_scene):
+    """Full pipeline: the fused-blend pallas path must match the packed
+    gather path (same bf16 taps, same blend formulas)."""
     from conftest import to_chw
     from bmfr_tpu.pipeline.denoise import FrameInputs, denoise_sequence
 
@@ -242,8 +279,9 @@ def test_pipeline_pallas_mode_matches_packed(tiny_cfg, tiny_scene):
     out_packed = denoise_sequence(
         tiny_cfg.replace(warp_mode="packed_x_bf16").validate(),
         inputs, cams, offs)
-    out_pallas = denoise_sequence(
+    out_fused = denoise_sequence(
         tiny_cfg.replace(warp_mode="pallas").validate(),
         inputs, cams, offs)
-    np.testing.assert_array_equal(np.asarray(out_packed),
-                                  np.asarray(out_pallas))
+    np.testing.assert_allclose(np.asarray(out_packed),
+                               np.asarray(out_fused),
+                               rtol=1e-5, atol=1e-5)
