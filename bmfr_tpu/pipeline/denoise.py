@@ -88,7 +88,10 @@ def denoise_frame(cfg, state: TemporalState, inputs: FrameInputs,
                                          pfx, pfy)
 
             def no_history(_):
-                return jnp.zeros((BLEND_PLANES, H, W), jnp.float32)
+                # derived from state so both cond branches carry the
+                # same device-variance under shard_map
+                return (state.result[0] * 0.0)[None] + jnp.zeros(
+                    (BLEND_PLANES, H, W), jnp.float32)
 
             planes = jax.lax.cond(frame > 0, fetch, no_history, None)
             pre = dict(
@@ -104,7 +107,8 @@ def denoise_frame(cfg, state: TemporalState, inputs: FrameInputs,
                                    mode=cfg.warp_mode)
 
             def no_history(_):
-                return jnp.zeros((4, 16, H, W), jnp.float32)
+                return (state.result[0] * 0.0)[None, None] + jnp.zeros(
+                    (4, 16, H, W), jnp.float32)
 
             all_taps = jax.lax.cond(frame > 0, fetch, no_history, None)
             taps_k1 = all_taps[:, 0:10]
