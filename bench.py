@@ -44,6 +44,11 @@ def main():
         image_width=width, image_height=height,
         position_limit_squared=0.03, normal_limit_squared=0.5,
         warp_mode=os.environ.get("BENCH_WARP_MODE", "pallas"),
+        # 'pallas_direct' measured 0.65 ms SLOWER end-to-end than the
+        # chunked kernel + blockify (13.23 vs 12.58 at 16 frames): the
+        # 2-D-layout QR's indicator-matmul reductions cost more than the
+        # block transpose they avoid. Kept as an option; see PERF_NOTES.
+        fitter_impl=os.environ.get("BENCH_FITTER", "auto"),
     ).validate()
 
     print(f"[bench] generating {frames}-frame {width}x{height} synthetic "

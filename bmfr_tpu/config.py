@@ -189,8 +189,20 @@ class BMFRConfig:
             raise ValueError(f"bad tmp_data_dtype: {self.tmp_data_dtype}")
         if self.solver not in ("householder", "cholesky"):
             raise ValueError(f"bad solver: {self.solver}")
-        if self.fitter_impl not in ("auto", "xla", "pallas"):
+        if self.fitter_impl not in ("auto", "xla", "pallas",
+                                    "pallas_direct"):
             raise ValueError(f"bad fitter_impl: {self.fitter_impl}")
+        if self.fitter_impl == "pallas_direct":
+            # the planes-direct path (ops/fitter_direct.py) fits blocks
+            # straight from the image-layout view; its kernel geometry
+            # and the QR it implements need these
+            if self.block_edge != 32:
+                raise ValueError(
+                    "fitter_impl='pallas_direct' requires block_edge=32")
+            if self.solver != "householder":
+                raise ValueError(
+                    "fitter_impl='pallas_direct' implements only the "
+                    "householder solver")
         if self.warp_mode not in ("float32", "packed_bf16",
                                   "packed_x_bf16", "pallas"):
             raise ValueError(f"bad warp_mode: {self.warp_mode}")

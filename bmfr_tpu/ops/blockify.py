@@ -67,6 +67,29 @@ def jitter_offset(frame, block_edge=32):
     return table[jnp.mod(frame, table.shape[0])]
 
 
+def blockify_view(cfg, planes, frame):
+    """The jittered margins-grid view only — ``[C, H, W]`` planes ->
+    ``[C, mh, mw]`` (mirror pad + per-frame jitter slice), without the
+    block-layout transpose. The planes-direct fitter
+    (:mod:`bmfr_tpu.ops.fitter_direct`) consumes blocks straight from
+    this layout; profiling showed the transpose costing more than the
+    fit itself (docs/PERF_NOTES.md)."""
+    C, H, W = planes.shape
+    be = cfg.block_edge
+    half = be // 2
+    mw, mh = cfg.workset_with_margins_width, cfg.workset_with_margins_height
+    pad_lo, pad_hi_x, pad_hi_y = _pads(cfg)
+    padded = jnp.pad(
+        planes, ((0, 0), (pad_lo, pad_hi_y), (pad_lo, pad_hi_x)),
+        mode="symmetric")
+    off = jitter_offset(frame, cfg.block_edge)
+    start_x = pad_lo - half + off[0]
+    start_y = pad_lo - half + off[1]
+    return lax.dynamic_slice(
+        padded, (jnp.int32(0), jnp.int32(start_y), jnp.int32(start_x)),
+        (C, mh, mw))
+
+
 def blockify_planes(cfg, planes, frame):
     """``[C, H, W]`` planes -> ``[n_blocks, C, block_pixels]`` jittered blocks.
 
@@ -74,23 +97,9 @@ def blockify_planes(cfg, planes, frame):
     (opencl/bmfr.cl:314-316); block ``b = gy//be * blocks_x + gx//be``,
     element ``e = gx%be + (gy%be)*be`` (opencl/bmfr.cl:455-464).
     """
-    C, H, W = planes.shape
+    C = planes.shape[0]
     be = cfg.block_edge
-    half = be // 2
-    mw, mh = cfg.workset_with_margins_width, cfg.workset_with_margins_height
-    pad_lo, pad_hi_x, pad_hi_y = _pads(cfg)
-
-    padded = jnp.pad(
-        planes, ((0, 0), (pad_lo, pad_hi_y), (pad_lo, pad_hi_x)),
-        mode="symmetric")
-
-    off = jitter_offset(frame, cfg.block_edge)
-    start_x = pad_lo - half + off[0]
-    start_y = pad_lo - half + off[1]
-    view = lax.dynamic_slice(
-        padded, (jnp.int32(0), jnp.int32(start_y), jnp.int32(start_x)),
-        (C, mh, mw))
-
+    view = blockify_view(cfg, planes, frame)
     blocks = view.reshape(C, cfg.blocks_y, be, cfg.blocks_x, be)
     blocks = blocks.transpose(1, 3, 0, 2, 4)  # [by, bx, C, be, be]
     return blocks.reshape(cfg.n_blocks, C, cfg.block_pixels)
@@ -133,3 +142,19 @@ def build_feature_blocks(cfg, normals, positions, accum_color, frame):
     if cfg.tmp_data_dtype != "float32":
         blocks = blocks.astype(cfg.tmp_data_dtype)
     return blocks
+
+
+def build_feature_view(cfg, normals, positions, accum_color, frame):
+    """Like :func:`build_feature_blocks` but stopping at the jittered
+    image-layout view (for the planes-direct fitter). The storage-dtype
+    rounding of the initial store happens via the same clamp +
+    round-trip contract (bmfr.cl:471-473)."""
+    feats = evaluate_features(cfg.all_features, normals, positions)
+    planes = jnp.concatenate([feats, accum_color], axis=0)
+    planes = jnp.where(jnp.isnan(planes), 0.0, planes)
+    if cfg.tmp_data_dtype == "float16":
+        planes = jnp.clip(planes, -65504.0, 65504.0)
+    view = blockify_view(cfg, planes, frame)
+    if cfg.tmp_data_dtype != "float32":
+        view = view.astype(cfg.tmp_data_dtype).astype(jnp.float32)
+    return view

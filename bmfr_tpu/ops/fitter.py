@@ -161,6 +161,11 @@ def fit_blocks(cfg, tmp_blocks, frame, impl=None):
     impl = requested
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas_direct":
+        # the planes-direct path enters via fit_blocks_direct (it takes
+        # the image-layout view); through this block-input API it is
+        # equivalent to the chunked Pallas kernel
+        impl = "pallas"
     if cfg.solver != "householder" and impl == "pallas":
         # The Pallas kernel implements only the Householder QR; the solver
         # choice must win over the backend choice (a "cholesky" sweep must

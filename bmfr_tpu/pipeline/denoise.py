@@ -121,16 +121,33 @@ def denoise_frame(cfg, state: TemporalState, inputs: FrameInputs,
             state.normals, state.positions, state.noisy, state.spp,
             prev_cam, pixel_offset, frame, taps=taps_k1)
 
-    with jax.named_scope("k2_blockify"):
-        tmp = build_feature_blocks(
-            cfg, inputs.normals, inputs.positions, k1["accum"], frame)
-    with jax.named_scope("k2_fitter"):
-        weights, mins_maxs = fit_blocks(cfg, tmp, frame)
+    direct = (cfg.fitter_impl == "pallas_direct"
+              and cfg.block_edge == 32 and cfg.solver == "householder")
+    if direct:
+        from ..ops.blockify import build_feature_view
+        from ..ops.fitter_direct import fit_blocks_direct
+        from ..ops.weighted_sum import weighted_sum_image
 
-    with jax.named_scope("k3_weighted_sum"):
-        filtered = weighted_sum(
-            cfg, weights, mins_maxs, inputs.normals, inputs.positions,
-            k1["accum"], frame, feature_blocks=tmp)
+        with jax.named_scope("k2_blockify"):
+            view = build_feature_view(
+                cfg, inputs.normals, inputs.positions, k1["accum"], frame)
+        with jax.named_scope("k2_fitter"):
+            weights, mins_maxs = fit_blocks_direct(cfg, view, frame)
+        with jax.named_scope("k3_weighted_sum"):
+            filtered = weighted_sum_image(
+                cfg, weights, mins_maxs, inputs.normals, inputs.positions,
+                k1["accum"], frame)
+    else:
+        with jax.named_scope("k2_blockify"):
+            tmp = build_feature_blocks(
+                cfg, inputs.normals, inputs.positions, k1["accum"], frame)
+        with jax.named_scope("k2_fitter"):
+            weights, mins_maxs = fit_blocks(cfg, tmp, frame)
+
+        with jax.named_scope("k3_weighted_sum"):
+            filtered = weighted_sum(
+                cfg, weights, mins_maxs, inputs.normals, inputs.positions,
+                k1["accum"], frame, feature_blocks=tmp)
 
     with jax.named_scope("k4_accumulate_filtered"):
         out, tone = accumulate_filtered_data(

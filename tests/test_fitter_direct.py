@@ -1,0 +1,82 @@
+"""Planes-direct fitter (ops/fitter_direct.py) vs the block-layout
+paths: same scale/noise/QR semantics, no transpose."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bmfr_tpu.ops.blockify import build_feature_blocks, build_feature_view
+from bmfr_tpu.ops.fitter import fit_blocks
+from bmfr_tpu.ops.fitter_direct import fit_blocks_direct
+from conftest import to_chw
+
+
+@pytest.fixture(scope="module")
+def frame_planes(tiny_scene):
+    normals = jnp.asarray(to_chw(tiny_scene["normals"][1]))
+    positions = jnp.asarray(to_chw(tiny_scene["positions"][1]))
+    accum = jnp.asarray(to_chw(tiny_scene["noisy"][1]))
+    return normals, positions, accum
+
+
+@pytest.mark.parametrize("frame", [0, 1, 7])
+def test_direct_matches_xla(tiny_cfg, frame_planes, frame):
+    normals, positions, accum = frame_planes
+    f = jnp.int32(frame)
+    tmp = build_feature_blocks(tiny_cfg, normals, positions, accum, f)
+    w_x, mm_x = fit_blocks(tiny_cfg, tmp, f, impl="xla")
+    view = build_feature_view(tiny_cfg, normals, positions, accum, f)
+    w_d, mm_d = fit_blocks_direct(tiny_cfg, view, f)
+    np.testing.assert_allclose(np.asarray(mm_d), np.asarray(mm_x),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(w_d), np.asarray(w_x),
+                               rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("dtype", ["float16", "bfloat16"])
+def test_direct_reduced_precision(tiny_cfg, frame_planes, dtype):
+    """The direct kernel must keep the per-reflection storage rounding."""
+    cfg = tiny_cfg.replace(tmp_data_dtype=dtype).validate()
+    normals, positions, accum = frame_planes
+    f = jnp.int32(1)
+    tmp = build_feature_blocks(cfg, normals, positions, accum, f)
+    w_x, _ = fit_blocks(cfg, tmp, f, impl="xla")
+    view = build_feature_view(cfg, normals, positions, accum, f)
+    w_d, _ = fit_blocks_direct(cfg, view, f)
+    np.testing.assert_allclose(np.asarray(w_d), np.asarray(w_x),
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_pipeline_direct_matches_classic(tiny_cfg, tiny_scene):
+    """Full sequence: fitter_impl='pallas_direct' (direct fit + image-
+    space K3) vs the classic block-layout path."""
+    from bmfr_tpu.pipeline.denoise import FrameInputs, denoise_sequence
+
+    sc = tiny_scene
+    inputs = FrameInputs(
+        normals=jnp.asarray(np.stack([to_chw(x) for x in sc["normals"]])),
+        positions=jnp.asarray(
+            np.stack([to_chw(x) for x in sc["positions"]])),
+        noisy=jnp.asarray(np.stack([to_chw(x) for x in sc["noisy"]])),
+        albedo=jnp.asarray(np.stack([to_chw(x) for x in sc["albedo"]])),
+    )
+    cams = jnp.asarray(sc["camera_matrices"])
+    offs = jnp.asarray(sc["pixel_offsets"])
+    out_classic = denoise_sequence(
+        tiny_cfg.replace(fitter_impl="xla").validate(), inputs, cams, offs)
+    out_direct = denoise_sequence(
+        tiny_cfg.replace(fitter_impl="pallas_direct").validate(),
+        inputs, cams, offs)
+    np.testing.assert_allclose(np.asarray(out_classic),
+                               np.asarray(out_direct),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_config_rejects_unsupported_direct(tiny_cfg):
+    with pytest.raises(ValueError):
+        tiny_cfg.replace(fitter_impl="pallas_direct",
+                         block_edge=16).validate()
+    with pytest.raises(ValueError):
+        tiny_cfg.replace(fitter_impl="pallas_direct",
+                         solver="cholesky").validate()
