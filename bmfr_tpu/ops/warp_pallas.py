@@ -404,27 +404,44 @@ def _mask_bits(iy, ix, H, W):
 def _blend_kernel(cfg, C, nty, ntx,
                   wo_ref, ra_ref, resid_ref,
                   src_hbm, sel_hbm, cur_hbm, out_hbm,
-                  win, sel, cur, stage, sem_w, sem_s, sem_c, sem_o):
+                  win2, sel2, cur2, stage, sem_w, sem_s, sem_c, sem_o):
     NT = nty * ntx
 
-    def body(i, _):
+    def dmas(i, slot):
+        """The three input copies for tile i into buffer set `slot`."""
         wo = pl.multiple_of(wo_ref[i], 8)
         xo = pl.multiple_of(ra_ref[NT + i], 128)
-        dw = pltpu.make_async_copy(
-            src_hbm.at[:, pl.ds(wo, WH), pl.ds(xo, TW)], win, sem_w)
-        dw.start()
-        ds = pltpu.make_async_copy(
-            sel_hbm.at[pl.ds(i * 5 * TH, 5 * TH), :], sel, sem_s)
-        ds.start()
         ty = i // ntx
         tx = i % ntx
-        dc = pltpu.make_async_copy(
-            cur_hbm.at[:, pl.ds(ty * TH, TH), pl.ds(tx * TC, TC)], cur,
-            sem_c)
-        dc.start()
-        dw.wait()
-        ds.wait()
-        dc.wait()
+        return (
+            pltpu.make_async_copy(
+                src_hbm.at[:, pl.ds(wo, WH), pl.ds(xo, TW)],
+                win2.at[slot], sem_w.at[slot]),
+            pltpu.make_async_copy(
+                sel_hbm.at[pl.ds(i * 5 * TH, 5 * TH), :],
+                sel2.at[slot], sem_s.at[slot]),
+            pltpu.make_async_copy(
+                cur_hbm.at[:, pl.ds(ty * TH, TH), pl.ds(tx * TC, TC)],
+                cur2.at[slot], sem_c.at[slot]),
+        )
+
+    for d in dmas(0, 0):
+        d.start()
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+        # prefetch the next tile into the other buffer set while this
+        # tile computes
+        @pl.when(i + 1 < NT)
+        def _():
+            for d in dmas(i + 1, 1 - slot):
+                d.start()
+
+        for d in dmas(i, slot):
+            d.wait()
+        win = win2.at[slot]
+        sel = sel2.at[slot]
+        cur = cur2.at[slot]
 
         ra = ra_ref[i]
         rs = resid_ref[i]
@@ -455,6 +472,8 @@ def _blend_kernel(cfg, C, nty, ntx,
         stage[...] = blend_from_rows(cfg, o0, o1, cur[...], bits, fxp,
                                      fyp)
 
+        ty = i // ntx
+        tx = i % ntx
         do = pltpu.make_async_copy(
             stage,
             out_hbm.at[:, pl.ds(ty * TH, TH), pl.ds(tx * TC, TC)],
@@ -534,13 +553,13 @@ def warp_blend_pallas(cfg, stacked, cur6, pfx, pfy, *, fixup_k=FIXUP_K,
             + [pl.BlockSpec(memory_space=pl.ANY)] * 3,
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
-                pltpu.VMEM((C, WH, TW), jnp.int32),
-                pltpu.VMEM((5 * TH, TW), jnp.int32),
-                pltpu.VMEM((6, TH, TC), jnp.float32),
+                pltpu.VMEM((2, C, WH, TW), jnp.int32),
+                pltpu.VMEM((2, 5 * TH, TW), jnp.int32),
+                pltpu.VMEM((2, 6, TH, TC), jnp.float32),
                 pltpu.VMEM((BLEND_PLANES, TH, TC), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA,
             ],
             compiler_params=pltpu.CompilerParams(
