@@ -112,6 +112,8 @@ class _WarpPlan(NamedTuple):
     xo128: jnp.ndarray      # [NT] i32 window lane DMA origins (128-aligned)
     ra: jnp.ndarray         # [NT] i32 lane roll amounts in [0, 127]
     resid: jnp.ndarray      # [NT] i32 sublane roll amounts in [0, 7]
+    s_max: jnp.ndarray      # [NT] i32 max covered row selector per tile
+    t_max: jnp.ndarray      # [NT] i32 max covered column selector per tile
     uncovered: jnp.ndarray  # [H, W] bool — needs the fix-up path
     n_uncovered: jnp.ndarray  # [] i32
 
@@ -195,6 +197,8 @@ def _plan(src_packed, iy, ix):
     t = jnp.where(vt, dxt - xo_t, -1)
 
     in_win = vt & (s >= 0) & (s < KY) & (t >= 0) & (t < KX)
+    s_max = jnp.max(jnp.where(in_win, s, -1).reshape(NT, -1), axis=1)
+    t_max = jnp.max(jnp.where(in_win, t, -1).reshape(NT, -1), axis=1)
 
     # Row-selector scatter: u[loc, lx + t] = s of the claiming pixel.
     # Static lane shifts over the column depth; claims never cross tile
@@ -235,7 +239,8 @@ def _plan(src_packed, iy, ix):
     # the kernel's DMA lane origin is in padded coordinates
     return _WarpPlan(src_pad=src_pad, sel=sel, wo=wo,
                      xo128=(xo128 + P_L).astype(i32), ra=ra.astype(i32),
-                     resid=resid.astype(i32),
+                     resid=resid.astype(i32), s_max=s_max.astype(i32),
+                     t_max=t_max.astype(i32),
                      uncovered=uncovered, n_uncovered=n_uncovered)
 
 
@@ -401,14 +406,21 @@ def _mask_bits(iy, ix, H, W):
     return bits
 
 
-def _blend_kernel(cfg, C, nty, ntx,
-                  wo_ref, ra_ref, resid_ref,
+def _blend_kernel(cfg, C, nty, ntx, ky, kx,
+                  count_ref, tiles_ref, wo_ref, ra_ref, resid_ref,
                   src_hbm, sel_hbm, cur_hbm, out_hbm,
                   win2, sel2, cur2, stage, sem_w, sem_s, sem_c, sem_o):
+    """One select-depth bucket: processes the tiles in ``tiles_ref[:
+    count_ref[0]]`` with (ky, kx) select layers. Two instantiations run
+    per frame — a shallow one for the ~half of tiles whose measured
+    displacement spread fits (8, 8), and the full-depth one — because
+    Mosaic flattens data-dependent vector branches, so adaptivity must
+    live at the launch level."""
     NT = nty * ntx
 
-    def dmas(i, slot):
-        """The three input copies for tile i into buffer set `slot`."""
+    def dmas(k, slot):
+        """The three input copies for list entry k into buffers `slot`."""
+        i = tiles_ref[k]
         wo = pl.multiple_of(wo_ref[i], 8)
         xo = pl.multiple_of(ra_ref[NT + i], 128)
         ty = i // ntx
@@ -425,24 +437,29 @@ def _blend_kernel(cfg, C, nty, ntx,
                 cur2.at[slot], sem_c.at[slot]),
         )
 
-    for d in dmas(0, 0):
-        d.start()
+    count = count_ref[0]
 
-    def body(i, _):
-        slot = jax.lax.rem(i, 2)
+    @pl.when(count > 0)
+    def _():
+        for d in dmas(0, 0):
+            d.start()
+
+    def body(k, _):
+        slot = jax.lax.rem(k, 2)
         # prefetch the next tile into the other buffer set while this
         # tile computes
-        @pl.when(i + 1 < NT)
+        @pl.when(k + 1 < count)
         def _():
-            for d in dmas(i + 1, 1 - slot):
+            for d in dmas(k + 1, 1 - slot):
                 d.start()
 
-        for d in dmas(i, slot):
+        for d in dmas(k, slot):
             d.wait()
         win = win2.at[slot]
         sel = sel2.at[slot]
         cur = cur2.at[slot]
 
+        i = tiles_ref[k]
         ra = ra_ref[i]
         rs = resid_ref[i]
         winr = pltpu.roll(win[...], shift=TW - ra, axis=2)
@@ -452,14 +469,14 @@ def _blend_kernel(cfg, C, nty, ntx,
 
         acc0 = jnp.zeros((C, TH, TW), jnp.int32)
         acc1 = jnp.zeros((C, TH, TW), jnp.int32)
-        for k in range(KY):
-            cmp = u == k
-            acc0 = jnp.where(cmp, winr[:, k:k + TH, :], acc0)
-            acc1 = jnp.where(cmp, winr[:, k + 1:k + 1 + TH, :], acc1)
+        for k2 in range(ky):
+            cmp = u == k2
+            acc0 = jnp.where(cmp, winr[:, k2:k2 + TH, :], acc0)
+            acc1 = jnp.where(cmp, winr[:, k2 + 1:k2 + 1 + TH, :], acc1)
 
         o0 = jnp.zeros((C, TH, TC), jnp.int32)
         o1 = jnp.zeros((C, TH, TC), jnp.int32)
-        for j in range(KX):
+        for j in range(kx):
             cmpj = t == j
             o0 = jnp.where(cmpj, acc0[:, :, j:j + TC], o0)
             o1 = jnp.where(cmpj, acc1[:, :, j:j + TC], o1)
@@ -482,7 +499,7 @@ def _blend_kernel(cfg, C, nty, ntx,
         do.wait()
         return 0
 
-    jax.lax.fori_loop(0, NT, body, 0)
+    jax.lax.fori_loop(0, count, body, 0)
 
 
 def warp_blend_pallas(cfg, stacked, cur6, pfx, pfy, *, fixup_k=FIXUP_K,
@@ -535,8 +552,6 @@ def warp_blend_pallas(cfg, stacked, cur6, pfx, pfy, *, fixup_k=FIXUP_K,
 
     cur_pad = jnp.pad(cur6, ((0, 0), (0, Hk - H), (0, Wk - W)))
 
-    kernel = functools.partial(_blend_kernel, cfg, C, nty, ntx)
-
     iy0 = jnp.clip(iy, 0, H - 1)
     iy1 = jnp.clip(iy + 1, 0, H - 1)
     ixc = jnp.clip(ix, 0, W - 1)
@@ -544,29 +559,64 @@ def warp_blend_pallas(cfg, stacked, cur6, pfx, pfy, *, fixup_k=FIXUP_K,
     flat1 = (iy1 * W + ixc).ravel()
     src_flat = src_packed.reshape(C, H * W)
 
+    # select-depth buckets: tiles whose spread fits the shallow depths
+    # run the cheap kernel; Mosaic flattens data-dependent vector
+    # branches, so adaptivity lives at the launch level
+    SH_KY, SH_KX = 8, 8
+    NT = nty * ntx
+    small = (plan.s_max < SH_KY) & (plan.t_max < SH_KX)
+    order = jnp.argsort(jnp.where(small, 0, 1), stable=True).astype(i32)
+    n_small = jnp.sum(small.astype(i32))
+    order_deep = jnp.roll(order, -n_small)
+
+    raxo = jnp.concatenate([plan.ra, plan.xo128])
+    scratch = [
+        pltpu.VMEM((2, C, WH, TW), jnp.int32),
+        pltpu.VMEM((2, 5 * TH, TW), jnp.int32),
+        pltpu.VMEM((2, 6, TH, TC), jnp.float32),
+        pltpu.VMEM((BLEND_PLANES, TH, TC), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA,
+    ]
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    out_shape = jax.ShapeDtypeStruct((BLEND_PLANES, Hk, Wk), jnp.float32)
+
     def with_fixup(_):
-        out = pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((BLEND_PLANES, Hk, Wk),
-                                           jnp.float32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+        shallow = functools.partial(_blend_kernel, cfg, C, nty, ntx,
+                                    SH_KY, SH_KX)
+        out_a = pl.pallas_call(
+            shallow,
+            out_shape=out_shape,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 5
             + [pl.BlockSpec(memory_space=pl.ANY)] * 3,
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            scratch_shapes=[
-                pltpu.VMEM((2, C, WH, TW), jnp.int32),
-                pltpu.VMEM((2, 5 * TH, TW), jnp.int32),
-                pltpu.VMEM((2, 6, TH, TC), jnp.float32),
-                pltpu.VMEM((BLEND_PLANES, TH, TC), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA,
-            ],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
+            scratch_shapes=scratch,
+            compiler_params=params,
             interpret=interpret,
-        )(plan.wo, jnp.concatenate([plan.ra, plan.xo128]),
-          plan.resid, plan.src_pad, sel5, cur_pad)
+        )(n_small[None], order, plan.wo, raxo, plan.resid,
+          plan.src_pad, sel5, cur_pad)
+
+        def deep_kernel(cnt, tiles, wo, raxo_, resid, src, sl, cu,
+                        prev, out_hbm, *scr):
+            del prev  # aliased to out_hbm: shallow tiles pass through
+            return _blend_kernel(cfg, C, nty, ntx, KY, KX, cnt, tiles,
+                                 wo, raxo_, resid, src, sl, cu, out_hbm,
+                                 *scr)
+
+        out = pl.pallas_call(
+            deep_kernel,
+            out_shape=out_shape,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 5
+            + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=scratch,
+            compiler_params=params,
+            input_output_aliases={8: 0},
+            interpret=interpret,
+        )((NT - n_small)[None], order_deep, plan.wo, raxo, plan.resid,
+          plan.src_pad, sel5, cur_pad, out_a)
         blended = out[:, :H, :W]
 
         cs = jnp.cumsum(plan.uncovered.ravel().astype(i32))
