@@ -300,6 +300,36 @@ def _warp_kernel(C, nty, ntx,
     jax.lax.fori_loop(0, NT, body, 0)
 
 
+def compact_indices(mask_flat, k):
+    """First ``k`` indices of set bits in ``mask_flat`` (i32), plus the
+    total count. Two-level rank search: `jnp.nonzero` lowers to a
+    scatter-add with one update per input element (~8 ms at 921k) and
+    `jnp.searchsorted` to log2(n) k-sized gather rounds; here the
+    1024-element block containing each rank comes from one comparison
+    matrix (no gathers) and only the 10 in-block halving steps gather.
+    """
+    i32 = jnp.int32
+    n = mask_flat.shape[0]
+    BS = 1024
+    nb = -(-n // BS)
+    cs = jnp.cumsum(mask_flat.astype(i32))
+    total = cs[-1]
+    cs_pad = jnp.pad(cs, (0, nb * BS - n), constant_values=cs[-1])
+    csb = cs_pad[BS - 1 :: BS]                       # block-end ranks
+    q = jnp.arange(1, k + 1, dtype=i32)
+    # block of the q-th set bit: #blocks whose end-rank < q
+    bidx = jnp.sum((csb[None, :] < q[:, None]).astype(i32), axis=1)
+    pos = bidx * BS
+    step = BS // 2
+    while step:
+        cand = pos + step
+        v = cs_pad[jnp.clip(cand - 1, 0, nb * BS - 1)]
+        pos = jnp.where(v < q, cand, pos)
+        step //= 2
+    idx = jnp.where(q <= total, jnp.clip(pos, 0, n - 1), 0).astype(i32)
+    return idx, total
+
+
 def _bf16_lo(u):
     """Low bf16 half of a packed i32 word -> f32 (bit placement)."""
     return jax.lax.bitcast_convert_type(
@@ -619,11 +649,7 @@ def warp_blend_pallas(cfg, stacked, cur6, pfx, pfy, *, fixup_k=FIXUP_K,
           plan.src_pad, sel5, cur_pad, out_a)
         blended = out[:, :H, :W]
 
-        cs = jnp.cumsum(plan.uncovered.ravel().astype(i32))
-        n_unc = cs[-1]
-        idx = jnp.searchsorted(
-            cs, jnp.arange(1, fixup_k + 1, dtype=i32), side="left")
-        idx = jnp.where(jnp.arange(fixup_k) < n_unc, idx, 0).astype(i32)
+        idx, _ = compact_indices(plan.uncovered.ravel(), fixup_k)
         r0 = src_flat[:, flat0[idx]]
         r1 = src_flat[:, flat1[idx]]
         fix = blend_from_rows(
@@ -695,15 +721,8 @@ def warp_rows_pallas(src_packed, iy, ix, *, fixup_k=FIXUP_K,
 
         # Compact fix-up: gather the uncovered pixels' exact values and
         # scatter them over the kernel output in one fused 2C-channel
-        # scatter. Compaction via cumsum + binary search — jnp.nonzero's
-        # lowering scatter-adds one update per INPUT element (~8 ms for
-        # 921k pixels, traced); searchsorted costs ~log2(HW) K-sized
-        # gathers instead.
-        cs = jnp.cumsum(plan.uncovered.ravel().astype(i32))
-        n_unc = cs[-1]
-        idx = jnp.searchsorted(
-            cs, jnp.arange(1, fixup_k + 1, dtype=i32), side="left")
-        idx = jnp.where(jnp.arange(fixup_k) < n_unc, idx, 0).astype(i32)
+        # scatter (compaction: see compact_indices).
+        idx, _ = compact_indices(plan.uncovered.ravel(), fixup_k)
         v = jnp.concatenate(
             [src_flat[:, flat0[idx]], src_flat[:, flat1[idx]]], axis=0)
         rows = out[:, :, :H, :W].reshape(2 * C, H * W)

@@ -285,3 +285,17 @@ def test_pipeline_fused_pallas_matches_packed(tiny_cfg, tiny_scene):
     np.testing.assert_allclose(np.asarray(out_packed),
                                np.asarray(out_fused),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_compact_indices_matches_nonzero():
+    """Two-level rank search == jnp.nonzero(size=K) semantics."""
+    from bmfr_tpu.ops.warp_pallas import compact_indices
+
+    rng = np.random.default_rng(30)
+    for n, k, p in [(4096, 64, 0.01), (10000, 256, 0.3), (1024, 16, 0.0),
+                    (5000, 128, 1.0), (921600 // 100, 512, 0.004)]:
+        mask = jnp.asarray(rng.random(n) < p)
+        idx, total = compact_indices(mask, k)
+        want = jnp.nonzero(mask, size=k, fill_value=0)[0]
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(want))
+        assert int(total) == int(mask.sum())
