@@ -341,22 +341,40 @@ def _bf16_hi(u):
         u.astype(jnp.uint32) & jnp.uint32(0xFFFF0000), jnp.float32)
 
 
-#: Output plane indices of the fused blend (see blend_from_rows).
+#: Output plane indices of the fused blend (see blend_from_taps).
 BLEND_PLANES = 13
 
 
 def blend_from_rows(cfg, row0, row1, cur6, bits, fx, fy):
-    """The fused temporal-blend math: resolved packed rows -> the 13
-    per-stage blend planes. Shared verbatim between the Pallas kernel
-    (in-VMEM), the compact fix-up, and the whole-frame fallback, so all
-    three paths agree bitwise.
+    """The fused temporal-blend math on x-pair-packed resolved rows.
 
     row0/row1: i32 ``[16, ...]`` x-pair-packed words at the tap rows
     (prev positions 0:3, normals 3:6, noisy 6:9, spp 9, out 10:13,
-    result 13:16 — the pipeline's recurrent stack order).
+    result 13:16 — the pipeline's recurrent stack order). Unpacks the
+    horizontal tap pairs and defers to :func:`blend_from_taps`; used by
+    the whole-frame fallback (2 XLA gather ops) and as the independent
+    reference formulation in tests.
+    """
+    lo0, hi0 = _bf16_lo(row0), _bf16_hi(row0)
+    lo1, hi1 = _bf16_lo(row1), _bf16_hi(row1)
+    return blend_from_taps(cfg, lo0, hi0, lo1, hi1, cur6, bits, fx, fy)
+
+
+def blend_from_taps(cfg, t0, t1, t2, t3, cur6, bits, fx, fy):
+    """Resolved f32 tap stacks -> the 13 per-stage blend planes. Shared
+    verbatim between the Pallas kernel (in-VMEM), the compact fix-up,
+    and the whole-frame fallback, so all three paths agree bitwise.
+
+    t0..t3: f32 ``[16, ...]`` tap values in reference tap order
+    ((0,0),(1,0),(0,1),(1,1) — opencl/bmfr.cl:359-363), channel stack
+    as in :func:`blend_from_rows`. All paths produce identical values
+    because bf16 rounding is per channel scalar, independent of how the
+    words were packed (x-pairs or channel-pairs).
     cur6: f32 ``[6, ...]`` current positions 0:3 + normals 3:6.
     bits: i32 mask bitfield — 0..3 K1 tap in-bounds, 4..7 K5 tap masks,
-    8 the ix<0 packed-pair edge select. fx/fy: f32 bilinear fractions.
+    8 the ix<0 edge: there the +x taps re-read the x-clipped column, so
+    t1/t3 fall back to t0/t2 (mirrors opencl/bmfr.cl:380-381 clipping).
+    fx/fy: f32 bilinear fractions.
 
     Output planes: 0-2 K1 weighted prev-color sum, 3 K1 spp sum,
     4 K1/K4 total weight, 5 accept bits, 6-8 K4 weighted out sum,
@@ -369,17 +387,14 @@ def blend_from_rows(cfg, row0, row1, cur6, bits, fx, fy):
     passthrough discards them either way (opencl/bmfr.cl:884-890).
     """
     f32 = jnp.float32
-    neg = (bits >> 8) & 1
-    lo0, hi0 = _bf16_lo(row0), _bf16_hi(row0)
-    lo1, hi1 = _bf16_lo(row1), _bf16_hi(row1)
-    negb = (neg > 0)[None]
-    taps = (lo0, jnp.where(negb, lo0, hi0),
-            lo1, jnp.where(negb, lo1, hi1))
+    negb = (((bits >> 8) & 1) > 0)[None]
+    taps = (t0, jnp.where(negb, t0, t1),
+            t2, jnp.where(negb, t2, t3))
 
     w = ((1.0 - fx) * (1.0 - fy), fx * (1.0 - fy),
          (1.0 - fx) * fy, fx * fy)
 
-    shape = row0.shape[1:]
+    shape = t0.shape[1:]
     pc = jnp.zeros((3,) + shape, f32)
     spp_sum = jnp.zeros(shape, f32)
     tw = jnp.zeros(shape, f32)
@@ -436,100 +451,274 @@ def _mask_bits(iy, ix, H, W):
     return bits
 
 
-def _blend_kernel(cfg, C, nty, ntx, ky, kx,
-                  count_ref, tiles_ref, wo_ref, ra_ref, resid_ref,
-                  src_hbm, sel_hbm, cur_hbm, out_hbm,
-                  win2, sel2, cur2, stage, sem_w, sem_s, sem_c, sem_o):
-    """One select-depth bucket: processes the tiles in ``tiles_ref[:
-    count_ref[0]]`` with (ky, kx) select layers. Two instantiations run
-    per frame — a shallow one for the ~half of tiles whose measured
-    displacement spread fits (8, 8), and the full-depth one — because
-    Mosaic flattens data-dependent vector branches, so adaptivity must
-    live at the launch level."""
+#: Select-depth phases (KY, KX, roll-window rows): tiles are classed
+#: into the smallest phase whose depths cover their per-tile selector
+#: spread. Measured on real orbit fields (scripts/probe_spread.py):
+#: (4,8) fits ~47% of tiles, (8,12) ~82%, (16,20) all. Mosaic flattens
+#: data-dependent vector branches, so depth adaptivity lives in three
+#: sequential fori phases over a class-sorted tile list, inside ONE
+#: pallas_call (uniform window DMA keeps one global prefetch chain).
+DEPTH_PHASES = ((4, 8, 32), (8, 12, 32), (16, 20, 40))
+
+#: Uniform per-tile window rows DMA'd: TH + KY_max + row1 slot + 7 roll
+#: slack, ceil to 8.
+WH3 = 40
+
+#: Stage-1 lane extent: after the in-kernel rolls only lanes
+#: [0, TC + KX_max + 1) = 277 are live; 3 lane groups hold them.
+W1 = 384
+
+
+class _BlendPlan(NamedTuple):
+    """Static geometry + per-frame tensors for the fused blend kernel."""
+
+    src_pad: jnp.ndarray    # [8, Hp, Wp] i32 ch-pair packed, zero-padded
+    sel_u: jnp.ndarray      # [NT*TH, TW] i32 claim map (window lanes)
+    sel_rest: jnp.ndarray   # [NT*4*TH, TC] i32: t, fx, fy, bits rows
+    wo: jnp.ndarray         # [NT] i32 window row origins (8-aligned)
+    raxo: jnp.ndarray       # [2*NT] i32: lane rolls [0,128) ; DMA origins
+    resid: jnp.ndarray      # [NT] i32 sublane rolls [0, 8)
+    order: jnp.ndarray      # [NT] i32 tiles sorted by depth class
+    bounds: jnp.ndarray     # [4] i32 phase partition of `order`
+    uncovered: jnp.ndarray  # [H, W] bool
+    n_uncovered: jnp.ndarray  # [] i32
+    counts: jnp.ndarray     # [3] i32 tiles per phase
+
+
+def _plan_blend(src8, iy, ix, fx, fy, bits):
+    """XLA-side index preprocessing for the fused blend kernel: per-tile
+    window origins and depth classes, the claim map, per-pixel column
+    selectors, coverage. Pure vector int math, no gathers.
+
+    The x+1 taps resolve through a second claim map that is exactly the
+    one-lane right shift of the first (``u2[q] = u[q-1]``): a pixel
+    claiming its x-tap at window lane ``p`` claims its x+1 tap at
+    ``p+1`` with the same row selector — so the shifted map serves it by
+    construction and no extra fold class exists. The kernel derives u2
+    in-VMEM; only ``u`` is transported.
+    """
+    i32 = jnp.int32
+    _, H, W = src8.shape
+    nty, ntx = -(-H // TH), -(-W // TC)
+    NT = nty * ntx
+    P_T3 = 16    # b >= -1 and loc <= TH-1 keep b + P_T3 - loc >= 0
+    Hp = _ceil(P_T3 + H + WH3, 8)
+    Wp = _ceil(P_L + max(W, TC) + TW - 128, 128)
+
+    row = jnp.arange(H, dtype=i32)[:, None]
+    col = jnp.arange(W, dtype=i32)[None, :]
+    valid = (iy >= -1) & (iy <= H - 1) & (ix >= -1) & (ix <= W - 1)
+    b = jnp.clip(iy, -1, H - 1)
+    ixc = jnp.clip(ix, 0, W - 1)
+    loc = row % TH
+    lx = col % TC
+
+    d = b + P_T3 - loc         # padded-space row selector base
+    dx = ixc - lx              # column selector base (absolute)
+
+    vt = _tiles(valid, nty, ntx, False)
+    dt = _tiles(jnp.where(valid, d, _BIG), nty, ntx, _BIG)
+    dxt = _tiles(jnp.where(valid, dx, _BIG), nty, ntx, _BIG)
+
+    def tmin(x):
+        m = jnp.min(x.reshape(NT, -1), axis=1)
+        return jnp.where(m >= _BIG, 0, m)
+
+    dmin = tmin(dt)                                   # [NT]
+    wo = jnp.clip(dmin & ~i32(7), 0, Hp - WH3)
+    resid = dmin - wo                                 # [0, 7]
+    xo = jnp.clip(tmin(dxt), -P_L, Wp - P_L - TW)
+    xo128 = jnp.clip(xo & ~i32(127), -P_L, Wp - P_L - TW)
+    ra = xo - xo128                                   # [0, 127]
+
+    dmin_t = dmin[:, None, None]
+    xo_t = xo[:, None, None]
+    s = jnp.where(vt, dt - dmin_t, -1)                # [NT, TH, TC]
+    t = jnp.where(vt, dxt - xo_t, -1)
+
+    in_win = jnp.logical_and(
+        vt & (s >= 0) & (s < KY), (t >= 0) & (t < KX))
+    s_max = jnp.max(jnp.where(in_win, s, -1).reshape(NT, -1), axis=1)
+    t_max = jnp.max(jnp.where(in_win, t, -1).reshape(NT, -1), axis=1)
+
+    # Row-selector scatter: u[loc, lx + t] = s of the claiming pixel.
+    SW = TC + KX
+    sclaim = jnp.where(in_win, s, -1)
+    spad = jnp.pad(sclaim, ((0, 0), (0, 0), (0, SW - TC)),
+                   constant_values=-1)
+    tpad = jnp.pad(jnp.where(in_win, t, -1),
+                   ((0, 0), (0, 0), (0, SW - TC)), constant_values=-1)
+    u = jnp.full((NT, TH, SW), -1, i32)
+    for j in range(KX):
+        cj = jnp.where(tpad == j, spad, -1)
+        u = jnp.maximum(u, _shift_lanes(cj, j, i32(-1)))
+
+    # Per-pixel claim consistency: the kernel serves position lx + t
+    # with u there; a pixel whose s lost the claim goes to fix-up.
+    u_at = jnp.full((NT, TH, SW), -1, i32)
+    for j in range(KX):
+        u_at = jnp.where(tpad == j, _unshift_lanes(u, j, i32(-1)), u_at)
+    served = in_win & (u_at[:, :, :TC] == s)
+
+    uncovered_t = vt & ~served
+    uncovered = _untile(uncovered_t, nty, ntx, H, W)
+    n_uncovered = jnp.sum(uncovered.astype(i32))
+
+    # Depth classes and the phase-sorted tile order.
+    cls = jnp.full((NT,), len(DEPTH_PHASES) - 1, i32)
+    for p in range(len(DEPTH_PHASES) - 2, -1, -1):
+        ky, kx, _ = DEPTH_PHASES[p]
+        cls = jnp.where((s_max < ky) & (t_max < kx), i32(p), cls)
+    order = jnp.argsort(cls, stable=True).astype(i32)
+    counts = jnp.stack(
+        [jnp.sum((cls == p).astype(i32)) for p in range(len(DEPTH_PHASES))])
+    z = jnp.zeros((), i32)
+    bounds = jnp.stack([z, counts[0], counts[0] + counts[1], i32(NT)])
+
+    sel_u = jnp.pad(u, ((0, 0), (0, 0), (0, TW - SW)),
+                    constant_values=-1).reshape(NT * TH, TW)
+    t_sel = jnp.where(served, t, -1)
+    fx_t = jax.lax.bitcast_convert_type(_tiles(fx, nty, ntx, 0.0),
+                                        jnp.int32)
+    fy_t = jax.lax.bitcast_convert_type(_tiles(fy, nty, ntx, 0.0),
+                                        jnp.int32)
+    bits_t = _tiles(bits, nty, ntx, 0)
+    sel_rest = jnp.concatenate(
+        [t_sel, fx_t, fy_t, bits_t], axis=1).reshape(NT * 4 * TH, TC)
+
+    src_pad = jnp.pad(src8,
+                      ((0, 0), (P_T3, Hp - P_T3 - H), (P_L, Wp - P_L - W)))
+
+    return _BlendPlan(
+        src_pad=src_pad, sel_u=sel_u, sel_rest=sel_rest, wo=wo,
+        raxo=jnp.concatenate([ra, (xo128 + P_L)]).astype(i32),
+        resid=resid.astype(i32), order=order, bounds=bounds,
+        uncovered=uncovered, n_uncovered=n_uncovered, counts=counts)
+
+
+def _unpack_ch_pairs(o):
+    """i32 ch-pair words ``[8, ...]`` -> f32 ``[16, ...]`` channel stack
+    (inverse of :func:`bmfr_tpu.ops.warp.pack_pairs_bf16`; leading-axis
+    reshape only, Mosaic-safe)."""
+    lo = _bf16_lo(o)
+    hi = _bf16_hi(o)
+    return jnp.stack([lo, hi], axis=1).reshape((16,) + o.shape[1:])
+
+
+def _blend_kernel3(cfg, nty, ntx,
+                   bounds_ref, tiles_ref, wo_ref, raxo_ref, resid_ref,
+                   src_hbm, selu_hbm, selr_hbm, cur_hbm, out_hbm,
+                   win2, selu2, selr2, cur2, stage,
+                   sem_w, sem_u, sem_r, sem_c, sem_o):
+    """The fused warp+blend kernel: one invocation, three sequential
+    select-depth phases over the class-sorted tile list, double-buffered
+    input DMAs with one prefetch chain crossing phase boundaries (the
+    window DMA shape is uniform; only the roll/select extents differ per
+    phase). Per tile: two dynamic rolls remove the DMA-alignment slack,
+    KY shifted-sublane selects resolve the source row (row1 rides as the
+    k+1 slice; the x+1 claims use the one-lane-shifted map), KX shifted-
+    lane selects resolve the column, then the unpacked taps run
+    :func:`blend_from_taps` in-VMEM and one DMA stores the 13 planes.
+    """
     NT = nty * ntx
 
     def dmas(k, slot):
-        """The three input copies for list entry k into buffers `slot`."""
         i = tiles_ref[k]
         wo = pl.multiple_of(wo_ref[i], 8)
-        xo = pl.multiple_of(ra_ref[NT + i], 128)
+        xo = pl.multiple_of(raxo_ref[NT + i], 128)
         ty = i // ntx
         tx = i % ntx
         return (
             pltpu.make_async_copy(
-                src_hbm.at[:, pl.ds(wo, WH), pl.ds(xo, TW)],
+                src_hbm.at[:, pl.ds(wo, WH3), pl.ds(xo, TW)],
                 win2.at[slot], sem_w.at[slot]),
             pltpu.make_async_copy(
-                sel_hbm.at[pl.ds(i * 5 * TH, 5 * TH), :],
-                sel2.at[slot], sem_s.at[slot]),
+                selu_hbm.at[pl.ds(i * TH, TH), :],
+                selu2.at[slot], sem_u.at[slot]),
+            pltpu.make_async_copy(
+                selr_hbm.at[pl.ds(i * 4 * TH, 4 * TH), :],
+                selr2.at[slot], sem_r.at[slot]),
             pltpu.make_async_copy(
                 cur_hbm.at[:, pl.ds(ty * TH, TH), pl.ds(tx * TC, TC)],
                 cur2.at[slot], sem_c.at[slot]),
         )
 
-    count = count_ref[0]
+    for d in dmas(0, 0):
+        d.start()
 
-    @pl.when(count > 0)
-    def _():
-        for d in dmas(0, 0):
-            d.start()
+    def make_body(ky, kx, whp):
+        def body(k, _):
+            slot = jax.lax.rem(k, 2)
 
-    def body(k, _):
-        slot = jax.lax.rem(k, 2)
-        # prefetch the next tile into the other buffer set while this
-        # tile computes
-        @pl.when(k + 1 < count)
-        def _():
-            for d in dmas(k + 1, 1 - slot):
-                d.start()
+            @pl.when(k + 1 < NT)
+            def _():
+                for d in dmas(k + 1, 1 - slot):
+                    d.start()
 
-        for d in dmas(k, slot):
-            d.wait()
-        win = win2.at[slot]
-        sel = sel2.at[slot]
-        cur = cur2.at[slot]
+            for d in dmas(k, slot):
+                d.wait()
 
-        i = tiles_ref[k]
-        ra = ra_ref[i]
-        rs = resid_ref[i]
-        winr = pltpu.roll(win[...], shift=TW - ra, axis=2)
-        winr = pltpu.roll(winr, shift=WH - rs, axis=1)
-        u = sel[0:TH][None]
-        t = sel[TH:2 * TH, :TC][None]
+            i = tiles_ref[k]
+            ra = raxo_ref[i]
+            rs = resid_ref[i]
+            winr = pltpu.roll(win2[slot, :, :whp, :], shift=TW - ra,
+                              axis=2)
+            winr = pltpu.roll(winr, shift=whp - rs, axis=1)
+            winr = winr[:, :, :W1]
 
-        acc0 = jnp.zeros((C, TH, TW), jnp.int32)
-        acc1 = jnp.zeros((C, TH, TW), jnp.int32)
-        for k2 in range(ky):
-            cmp = u == k2
-            acc0 = jnp.where(cmp, winr[:, k2:k2 + TH, :], acc0)
-            acc1 = jnp.where(cmp, winr[:, k2 + 1:k2 + 1 + TH, :], acc1)
+            u = selu2[slot, :, :W1]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (TH, W1), 1)
+            u2 = jnp.where(lane == 0, -1, pltpu.roll(u, shift=1, axis=1))
+            u = u[None]
+            u2 = u2[None]
+            t = selr2[slot, 0:TH, :][None]
 
-        o0 = jnp.zeros((C, TH, TC), jnp.int32)
-        o1 = jnp.zeros((C, TH, TC), jnp.int32)
-        for j in range(kx):
-            cmpj = t == j
-            o0 = jnp.where(cmpj, acc0[:, :, j:j + TC], o0)
-            o1 = jnp.where(cmpj, acc1[:, :, j:j + TC], o1)
+            z = jnp.zeros((8, TH, W1), jnp.int32)
+            acc0, acc1, acc2, acc3 = z, z, z, z
+            for k2 in range(ky):
+                r0 = winr[:, k2:k2 + TH, :]
+                r1 = winr[:, k2 + 1:k2 + 1 + TH, :]
+                c0 = u == k2
+                c2 = u2 == k2
+                acc0 = jnp.where(c0, r0, acc0)
+                acc1 = jnp.where(c0, r1, acc1)
+                acc2 = jnp.where(c2, r0, acc2)
+                acc3 = jnp.where(c2, r1, acc3)
 
-        fxp = jax.lax.bitcast_convert_type(
-            sel[2 * TH:3 * TH, :TC], jnp.float32)
-        fyp = jax.lax.bitcast_convert_type(
-            sel[3 * TH:4 * TH, :TC], jnp.float32)
-        bits = sel[4 * TH:5 * TH, :TC]
-        stage[...] = blend_from_rows(cfg, o0, o1, cur[...], bits, fxp,
-                                     fyp)
+            zc = jnp.zeros((8, TH, TC), jnp.int32)
+            o00, o01, o10, o11 = zc, zc, zc, zc
+            for j in range(kx):
+                cj = t == j
+                o00 = jnp.where(cj, acc0[:, :, j:j + TC], o00)
+                o01 = jnp.where(cj, acc1[:, :, j:j + TC], o01)
+                o10 = jnp.where(cj, acc2[:, :, j + 1:j + 1 + TC], o10)
+                o11 = jnp.where(cj, acc3[:, :, j + 1:j + 1 + TC], o11)
 
-        ty = i // ntx
-        tx = i % ntx
-        do = pltpu.make_async_copy(
-            stage,
-            out_hbm.at[:, pl.ds(ty * TH, TH), pl.ds(tx * TC, TC)],
-            sem_o)
-        do.start()
-        do.wait()
-        return 0
+            fxp = jax.lax.bitcast_convert_type(
+                selr2[slot, TH:2 * TH, :], jnp.float32)
+            fyp = jax.lax.bitcast_convert_type(
+                selr2[slot, 2 * TH:3 * TH, :], jnp.float32)
+            bits = selr2[slot, 3 * TH:4 * TH, :]
+            stage[...] = blend_from_taps(
+                cfg, _unpack_ch_pairs(o00), _unpack_ch_pairs(o10),
+                _unpack_ch_pairs(o01), _unpack_ch_pairs(o11),
+                cur2[slot], bits, fxp, fyp)
 
-    jax.lax.fori_loop(0, count, body, 0)
+            ty = i // ntx
+            tx = i % ntx
+            do = pltpu.make_async_copy(
+                stage,
+                out_hbm.at[:, pl.ds(ty * TH, TH), pl.ds(tx * TC, TC)],
+                sem_o)
+            do.start()
+            do.wait()
+            return 0
+
+        return body
+
+    for p, (ky, kx, whp) in enumerate(DEPTH_PHASES):
+        jax.lax.fori_loop(bounds_ref[p], bounds_ref[p + 1],
+                          make_body(ky, kx, whp), 0)
 
 
 def warp_blend_pallas(cfg, stacked, cur6, pfx, pfy, *, fixup_k=FIXUP_K,
@@ -538,19 +727,20 @@ def warp_blend_pallas(cfg, stacked, cur6, pfx, pfy, *, fixup_k=FIXUP_K,
 
     stacked: f32 ``[16, H, W]`` recurrent channels (pipeline stack
     order); cur6: f32 ``[6, H, W]`` current positions+normals;
-    pfx/pfy: the reprojected coordinates. Returns the 13 blend planes
-    of :func:`blend_from_rows` as f32 ``[13, H, W]``.
+    pfx/pfy: the reprojected coordinates. Returns ``(planes, stats)``:
+    the 13 blend planes of :func:`blend_from_taps` as f32 ``[13, H, W]``
+    plus an i32 ``[6]`` engagement record ``[n_uncovered, fallback_flag,
+    tiles_phase0, tiles_phase1, tiles_phase2, kernel_served_pixels]``.
 
-    Same three-tier exactness contract as :func:`warp_rows_pallas`,
-    applied to the blended outputs: kernel for covered pixels, compact
-    fix-up, whole-frame XLA fallback on overflow — every path runs
-    blend_from_rows on bit-identical resolved rows.
+    Three-tier exactness contract on the blended outputs: kernel for
+    covered pixels, compact fix-up for window-miss/fold pixels, whole-
+    frame XLA fallback on overflow — every tier runs blend_from_taps on
+    bit-identical bf16-rounded tap values.
     """
-    from .gather import floor_int, gather_planes
-    from .warp import pack_x_pairs_bf16
+    from .gather import floor_int
+    from .warp import gather_taps, pack_pairs_bf16
 
     i32 = jnp.int32
-    C = stacked.shape[0]
     H, W = stacked.shape[1:]
     ix = floor_int(pfx)
     iy = floor_int(pfy)
@@ -558,53 +748,24 @@ def warp_blend_pallas(cfg, stacked, cur6, pfx, pfy, *, fixup_k=FIXUP_K,
     fy = pfy - iy.astype(jnp.float32)
     bits = _mask_bits(iy, ix, H, W)
 
-    src_packed = pack_x_pairs_bf16(stacked)
+    src8 = pack_pairs_bf16(stacked)                  # [8, H, W] i32
     nty, ntx = -(-H // TH), -(-W // TC)
     Hk, Wk = nty * TH, ntx * TC
-    plan = _plan(src_packed, iy, ix)
+    plan = _plan_blend(src8, iy, ix, fx, fy, bits)
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    # selector block per tile: u, t, fx, fy, mask bits (f32 planes ride
-    # bitcast through the i32 transport)
-    fx_t = jnp.pad(jax.lax.bitcast_convert_type(
-        _tiles(fx, nty, ntx, 0.0), jnp.int32),
-        ((0, 0), (0, 0), (0, TW - TC)))
-    fy_t = jnp.pad(jax.lax.bitcast_convert_type(
-        _tiles(fy, nty, ntx, 0.0), jnp.int32),
-        ((0, 0), (0, 0), (0, TW - TC)))
-    bits_t = jnp.pad(_tiles(bits, nty, ntx, 0),
-                     ((0, 0), (0, 0), (0, TW - TC)))
-    sel5 = jnp.concatenate([
-        plan.sel.reshape(nty * ntx, 2 * TH, TW), fx_t, fy_t, bits_t,
-        ], axis=1).reshape(nty * ntx * 5 * TH, TW)
-
     cur_pad = jnp.pad(cur6, ((0, 0), (0, Hk - H), (0, Wk - W)))
 
-    iy0 = jnp.clip(iy, 0, H - 1)
-    iy1 = jnp.clip(iy + 1, 0, H - 1)
-    ixc = jnp.clip(ix, 0, W - 1)
-    flat0 = (iy0 * W + ixc).ravel()
-    flat1 = (iy1 * W + ixc).ravel()
-    src_flat = src_packed.reshape(C, H * W)
-
-    # select-depth buckets: tiles whose spread fits the shallow depths
-    # run the cheap kernel; Mosaic flattens data-dependent vector
-    # branches, so adaptivity lives at the launch level
-    SH_KY, SH_KX = 8, 8
-    NT = nty * ntx
-    small = (plan.s_max < SH_KY) & (plan.t_max < SH_KX)
-    order = jnp.argsort(jnp.where(small, 0, 1), stable=True).astype(i32)
-    n_small = jnp.sum(small.astype(i32))
-    order_deep = jnp.roll(order, -n_small)
-
-    raxo = jnp.concatenate([plan.ra, plan.xo128])
+    kernel = functools.partial(_blend_kernel3, cfg, nty, ntx)
     scratch = [
-        pltpu.VMEM((2, C, WH, TW), jnp.int32),
-        pltpu.VMEM((2, 5 * TH, TW), jnp.int32),
+        pltpu.VMEM((2, 8, WH3, TW), jnp.int32),
+        pltpu.VMEM((2, TH, TW), jnp.int32),
+        pltpu.VMEM((2, 4 * TH, TC), jnp.int32),
         pltpu.VMEM((2, 6, TH, TC), jnp.float32),
         pltpu.VMEM((BLEND_PLANES, TH, TC), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
@@ -614,57 +775,51 @@ def warp_blend_pallas(cfg, stacked, cur6, pfx, pfy, *, fixup_k=FIXUP_K,
     out_shape = jax.ShapeDtypeStruct((BLEND_PLANES, Hk, Wk), jnp.float32)
 
     def with_fixup(_):
-        shallow = functools.partial(_blend_kernel, cfg, C, nty, ntx,
-                                    SH_KY, SH_KX)
-        out_a = pl.pallas_call(
-            shallow,
-            out_shape=out_shape,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 5
-            + [pl.BlockSpec(memory_space=pl.ANY)] * 3,
-            out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            scratch_shapes=scratch,
-            compiler_params=params,
-            interpret=interpret,
-        )(n_small[None], order, plan.wo, raxo, plan.resid,
-          plan.src_pad, sel5, cur_pad)
-
-        def deep_kernel(cnt, tiles, wo, raxo_, resid, src, sl, cu,
-                        prev, out_hbm, *scr):
-            del prev  # aliased to out_hbm: shallow tiles pass through
-            return _blend_kernel(cfg, C, nty, ntx, KY, KX, cnt, tiles,
-                                 wo, raxo_, resid, src, sl, cu, out_hbm,
-                                 *scr)
-
         out = pl.pallas_call(
-            deep_kernel,
+            kernel,
             out_shape=out_shape,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 5
             + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=scratch,
             compiler_params=params,
-            input_output_aliases={8: 0},
             interpret=interpret,
-        )((NT - n_small)[None], order_deep, plan.wo, raxo, plan.resid,
-          plan.src_pad, sel5, cur_pad, out_a)
+        )(plan.bounds, plan.order, plan.wo, plan.raxo, plan.resid,
+          plan.src_pad, plan.sel_u, plan.sel_rest, cur_pad)
         blended = out[:, :H, :W]
 
+        # Compact fix-up: one gather over the 4 concatenated tap index
+        # sets, exact bf16-identical blend, scatter over the kernel out.
         idx, _ = compact_indices(plan.uncovered.ravel(), fixup_k)
-        r0 = src_flat[:, flat0[idx]]
-        r1 = src_flat[:, flat1[idx]]
-        fix = blend_from_rows(
-            cfg, r0, r1, cur6.reshape(6, H * W)[:, idx],
+        iy0 = jnp.clip(iy, 0, H - 1).ravel()[idx]
+        iy1 = jnp.clip(iy + 1, 0, H - 1).ravel()[idx]
+        ix0 = jnp.clip(ix, 0, W - 1).ravel()[idx]
+        ix1 = jnp.clip(ix + 1, 0, W - 1).ravel()[idx]
+        flat = jnp.concatenate([iy0 * W + ix0, iy0 * W + ix1,
+                                iy1 * W + ix0, iy1 * W + ix1])
+        words = src8.reshape(8, H * W)[:, flat]       # [8, 4K]
+        k = idx.shape[0]
+        tv = [_unpack_ch_pairs(words[:, i * k:(i + 1) * k])
+              for i in range(4)]
+        fix = blend_from_taps(
+            cfg, tv[0], tv[1], tv[2], tv[3],
+            cur6.reshape(6, H * W)[:, idx],
             bits.ravel()[idx], fx.ravel()[idx], fy.ravel()[idx])
         return (blended.reshape(BLEND_PLANES, H * W)
                 .at[:, idx].set(fix).reshape(BLEND_PLANES, H, W))
 
     def full_fallback(_):
-        r0 = gather_planes(src_packed, iy, ix)
-        r1 = gather_planes(src_packed, iy + 1, ix)
-        return blend_from_rows(cfg, r0, r1, cur6, bits, fx, fy)
+        taps = gather_taps(stacked, iy, ix, mode="packed_x_bf16")
+        return blend_from_taps(cfg, taps[0], taps[1], taps[2], taps[3],
+                               cur6, bits, fx, fy)
 
-    return jax.lax.cond(plan.n_uncovered <= fixup_k, with_fixup,
-                        full_fallback, None)
+    in_kernel = plan.n_uncovered <= fixup_k
+    planes = jax.lax.cond(in_kernel, with_fixup, full_fallback, None)
+    served = jnp.where(in_kernel, i32(H * W) - plan.n_uncovered, i32(0))
+    stats = jnp.concatenate([
+        plan.n_uncovered[None], (~in_kernel).astype(i32)[None],
+        plan.counts, served[None]])
+    return planes, stats
 
 
 def warp_rows_pallas(src_packed, iy, ix, *, fixup_k=FIXUP_K,

@@ -57,8 +57,13 @@ def denoise_scenes_sharded(cfg, mesh, inputs: FrameInputs, camera_matrices,
 
         return jax.vmap(one_scene)(shard_inputs, cams, offs)
 
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+    # annotation; correctness of the sharded result is asserted
+    # numerically against the unsharded computation in
+    # __graft_entry__.dryrun_multichip and tests/test_sharding.py.
     fn = jax.shard_map(
-        per_shard, mesh=mesh, in_specs=spec_in, out_specs=P(axis_name))
+        per_shard, mesh=mesh, in_specs=spec_in, out_specs=P(axis_name),
+        check_vma=False)
     return fn(inputs, camera_matrices, pixel_offsets)
 
 

@@ -90,10 +90,12 @@ def denoise_frame(cfg, state: TemporalState, inputs: FrameInputs,
             def no_history(_):
                 # derived from state so both cond branches carry the
                 # same device-variance under shard_map
-                return (state.result[0] * 0.0)[None] + jnp.zeros(
-                    (BLEND_PLANES, H, W), jnp.float32)
+                return ((state.result[0] * 0.0)[None] + jnp.zeros(
+                    (BLEND_PLANES, H, W), jnp.float32),
+                    jnp.zeros((6,), jnp.int32))
 
-            planes = jax.lax.cond(frame > 0, fetch, no_history, None)
+            planes, warp_stats = jax.lax.cond(
+                frame > 0, fetch, no_history, None)
             pre = dict(
                 k1_color_sum=planes[0:3], k1_spp_sum=planes[3],
                 total_weight=planes[4],
@@ -102,6 +104,7 @@ def denoise_frame(cfg, state: TemporalState, inputs: FrameInputs,
                 k5_weight=planes[12])
             taps_k1 = taps_k4 = taps_k5 = pre
         else:
+            warp_stats = jnp.zeros((6,), jnp.int32)
             def fetch(_):
                 return gather_taps(stack_state(), iy, ix,
                                    mode=cfg.warp_mode)
@@ -170,6 +173,7 @@ def denoise_frame(cfg, state: TemporalState, inputs: FrameInputs,
         result=result, tone=tone, out=out, filtered=filtered,
         accum=k1["accum"], spp=k1["spp"], prev_pixels=k1["prev_pixels"],
         accept=k1["accept"], weights=weights, mins_maxs=mins_maxs,
+        warp_stats=warp_stats,
     )
     return new_state, outputs
 
@@ -194,13 +198,19 @@ def make_denoise_frame(cfg, donate=True):
 
 
 def denoise_sequence(cfg, inputs: FrameInputs, camera_matrices,
-                     pixel_offsets, lite_outputs=True, initial_state=None):
+                     pixel_offsets, lite_outputs=True, initial_state=None,
+                     return_stats=False):
     """Denoise a stacked animation with ``lax.scan``.
 
     inputs: FrameInputs with a leading time axis ``[T, 3, H, W]``;
     camera_matrices ``f32[T, 4, 4]``; pixel_offsets ``f32[T, 2]``.
     Returns the stacked TAA results ``f32[T, 3, H, W]`` (plus tone-mapped
-    frames when ``lite_outputs`` is False).
+    frames when ``lite_outputs`` is False). With ``return_stats`` the
+    per-frame warp engagement records ``i32[T, 6]`` ride along
+    (``[n_uncovered, fallback, tiles_p0, tiles_p1, tiles_p2,
+    kernel_served_pixels]`` — all zero for non-fused warp modes), so the
+    bench and tests can prove which warp tier actually served each
+    frame.
     """
     T = inputs.noisy.shape[0]
     if initial_state is None:
@@ -224,11 +234,12 @@ def denoise_sequence(cfg, inputs: FrameInputs, camera_matrices,
         )
         new_state, outputs = denoise_frame(
             cfg, state, frame_in, prev_cam, pixel_offsets[t], t)
-        if lite_outputs:
-            return new_state, outputs["result"]
-        return new_state, (outputs["result"], outputs["tone"])
+        ys = ((outputs["result"],) if lite_outputs
+              else (outputs["result"], outputs["tone"]))
+        if return_stats:
+            ys = ys + (outputs["warp_stats"],)
+        return new_state, ys if len(ys) > 1 else ys[0]
 
     _, results = jax.lax.scan(
-        body, state, jnp.arange(T, dtype=jnp.int32),
-        unroll=2 if T % 2 == 0 else 1)
+        body, state, jnp.arange(T, dtype=jnp.int32), unroll=1)
     return results

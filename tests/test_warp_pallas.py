@@ -240,8 +240,10 @@ def test_warp_blend_matches_reference_blend(tiny_cfg):
     pfy = jnp.asarray((yy + 2.3 + xx * 0.01).astype(np.float32))
     pfx = jnp.asarray((xx - 1.7 + yy * 0.02).astype(np.float32))
 
-    got = jax.jit(lambda *a: warp_blend_pallas(cfg, *a))(
+    got, stats = jax.jit(lambda *a: warp_blend_pallas(cfg, *a))(
         stacked, cur6, pfx, pfy)
+    assert int(stats[1]) == 0          # kernel+fixup tier, not fallback
+    assert int(stats[5]) > 0.9 * Ht * Wt
 
     src = pack_x_pairs_bf16(stacked)
     iy = floor_int(pfy)
