@@ -284,7 +284,13 @@ def write_exr_py(path: str, img_hwc: np.ndarray, half: bool = True,
                         planes += (h16 >> 8).astype(np.uint8).tobytes()
                         planes += (h16 & 0xFF).astype(np.uint8).tobytes()
                     else:
-                        u = v.view(np.uint32) >> 8  # truncate to float24
+                        # round-to-nearest float24 like OpenEXR's
+                        # floatToFloat24 (mantissa + 0x7f carries into
+                        # the exponent); inf/NaN pass through truncated
+                        u32 = v.view(np.uint32)
+                        inf = (u32 & 0x7F800000) == 0x7F800000
+                        u = np.where(inf, u32 >> 8,
+                                     (u32 + 0x7F) >> 8).astype(np.uint32)
                         planes += (u >> 16).astype(np.uint8).tobytes()
                         planes += ((u >> 8) & 0xFF).astype(np.uint8).tobytes()
                         planes += (u & 0xFF).astype(np.uint8).tobytes()

@@ -1,24 +1,32 @@
-"""Planes-direct fitter: blockwise QR without the block-layout transpose.
+"""Planes-direct fused fitter: feature build + scale + noise + blockwise
+QR straight from the jittered image view — no block-layout transpose, no
+13-plane feature volume in HBM.
 
-Round-2 profiling showed the block layout (`blockify_planes`'s
-reshape+transpose of the 52 MB feature volume) costing more device time
-than the fit itself (~1.4 ms vs 0.8 ms; docs/PERF_NOTES.md). The
-transpose only exists to linearize each 32x32 block's pixels into a
-1024-lane vector for the original kernel. This path keeps the feature
-volume in image layout end to end:
+Round-2/3 xplane traces showed the block layout (`blockify_planes`'s
+reshape+copy+reshape of the 52 MB feature volume) costing ~1.2 ms/frame
+— more than the fit itself (0.8 ms) — purely to linearize each 32x32
+block's pixels into a 1024-lane vector (docs/PERF_NOTES.md). This path
+never builds that volume: the kernel DMAs 32-row slabs of the *raw*
+jittered planes (normals, positions, accumulated color — 9 planes,
+36 MB) and runs the complete K1-store -> scale -> noise -> QR chain of
+opencl/bmfr.cl per block in VMEM:
 
-* per-block min/max + rescale + storage rounding + noise run in XLA as
-  strided reductions / block-broadcast elementwise ops over the jittered
-  view (no data movement beyond one pad+slice — opencl/bmfr.cl:511-542
-  semantics);
-* the Pallas kernel fits 8 blocks per step directly on ``[13, 32, 256]``
-  windows (one block row x 8 adjacent blocks): per-block reductions are
-  one MXU matmul with a block-indicator matrix plus a sublane reduce,
-  per-block scalars broadcast back through its transpose — the
-  block-pixel index ``e = x_in + 32*y_in`` (opencl/bmfr.cl:89-97) maps
-  to (row ``e//32``, lane ``e%32``), so the Householder pivot/tail masks
-  become 2-D iota tests;
-* the reduced systems come back as each window's row-0 lanes and are
+* feature evaluation (opencl/bmfr.cl:447-453) uses the same
+  FEATURE_REGISTRY as every other path, applied to the slab rows;
+* the K1 store contract (NaN->0, half clamp + rounding,
+  opencl/bmfr.cl:455-476) is applied in-kernel;
+* per-block min/max (opencl/bmfr.cl:511-542) reduces sublanes then the
+  32-lane block segments with masked log-step lane rolls, leaving every
+  lane of a segment holding its block's value — so the rescale needs no
+  scatter-back and the mins/maxs export is a strided lane slice;
+* the regularization noise (opencl/bmfr.cl:625-627) arrives as a
+  VMEM-resident lane-tiled table (the block-pixel index
+  ``e = x_in + 32*y_in`` maps to (sublane ``e//32``, lane ``e%32``));
+* Householder reflections (opencl/bmfr.cl:549-656) keep pixels in the
+  2-D (32 sublanes x 32-lane segment) layout: per-block reductions are
+  one MXU matmul with the block-indicator matrix, per-block scalars
+  broadcast back through its transpose;
+* the reduced systems come back in each block's sublane-0 lanes and are
   solved by the same batched triangular solve as the other fitter paths.
 
 Semantics equal ``fit_blocks`` (same scale conditional, noise-once rule,
@@ -35,11 +43,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..features import FEATURE_REGISTRY
 from ..rng import feature_noise
 from .fitter_pallas import _quantize
 
-#: blocks fitted per kernel step (8 x 32 lanes = 2 native lane groups)
-CHUNK = 8
+#: blocks fitted per kernel step (16 x 32 lanes = 4 native lane groups)
+CHUNK = 16
 LANES = CHUNK * 32
 
 #: export rows: buffer_count (13) padded to the 8-aligned DMA tiling
@@ -53,38 +62,32 @@ def _pads_for_direct(cfg):
     return nbx_pad, nbx_pad * cfg.block_edge
 
 
-def scale_view(cfg, view):
-    """Per-block min/max rescale of the scaled feature rows, in image
-    layout (strided reductions + block-broadcast; bmfr.cl:511-542).
-
-    view: f32 ``[buffer_count, mh, mw_pad]`` jittered feature planes.
-    Returns (scaled view, mins_maxs ``f32[n_blocks, n_scaled, 2]``).
-    """
-    be = cfg.block_edge
-    lo = cfg.features_not_scaled_count
-    hi = cfg.feature_count
-    nby = cfg.blocks_y
-    nbx_pad = view.shape[2] // be
-    sub = view[lo:hi]
-    blocks = sub.reshape(hi - lo, nby, be, nbx_pad, be)
-    bmin = blocks.min(axis=(2, 4))            # [n_sc, nby, nbx_pad]
-    bmax = blocks.max(axis=(2, 4))
-    denom = jnp.where(jnp.abs(bmax - bmin) > 1.0, bmax - bmin, 1.0)
-    bmin_px = jnp.repeat(jnp.repeat(bmin, be, axis=1), be, axis=2)
-    den_px = jnp.repeat(jnp.repeat(denom, be, axis=1), be, axis=2)
-    scaled = (sub - bmin_px) / den_px
-    view = jnp.concatenate([view[:lo], scaled, view[hi:]], axis=0)
-
-    mm = jnp.stack([bmin, bmax], axis=-1)     # [n_sc, nby, nbx_pad, 2]
-    mm = mm.transpose(1, 2, 0, 3)[:, : cfg.blocks_x]
-    return view, mm.reshape(cfg.n_blocks, hi - lo, 2)
+def _seg_reduce(x, op, be):
+    """Reduce each ``be``-lane segment of the last axis with ``op``,
+    leaving the segment value in every lane: masked log-step suffix
+    pass, then a masked prefix pass (rolls never cross segments)."""
+    lanes = x.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1) % be
+    sh = 1
+    while sh < be:
+        y = pltpu.roll(x, shift=lanes - sh, axis=x.ndim - 1)  # y[l]=x[l+sh]
+        x = jnp.where(lane < be - sh, op(x, y), x)
+        sh *= 2
+    sh = 1
+    while sh < be:
+        y = pltpu.roll(x, shift=sh, axis=x.ndim - 1)          # y[l]=x[l-sh]
+        x = jnp.where(lane >= sh, op(x, y), x)
+        sh *= 2
+    return x
 
 
-def _qr_kernel(cfg, n_chunks, ncx, src_hbm, out_hbm, x, stage, sem_i,
-               sem_o):
+def _qr_kernel(cfg, n_chunks, ncx, src_hbm, noise_vmem, out_hbm, mm_hbm,
+               x2, stage, mmstage, sem_i, sem_o, sem_m):
     F = cfg.feature_count
     B = cfg.buffer_count
     be = cfg.block_edge
+    lo = cfg.features_not_scaled_count
+    n_sc = cfg.features_scaled_count
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (LANES, CHUNK), 0)
     bcol = jax.lax.broadcasted_iota(jnp.int32, (LANES, CHUNK), 1)
@@ -94,20 +97,61 @@ def _qr_kernel(cfg, n_chunks, ncx, src_hbm, out_hbm, x, stage, sem_i,
     c_in = jax.lax.broadcasted_iota(jnp.int32, (be, LANES), 1) % be
 
     def blocksum(m):
-        """[rows, LANES] -> per-block sums [rows//be? ...]: here used on
-        [be, LANES] or [nf*be, LANES]; returns [..., CHUNK]."""
         return jnp.dot(m, G, preferred_element_type=jnp.float32)
 
-    def body(i, _):
+    def dma_in(i, slot):
         by = i // ncx
         cx = i % ncx
-        di = pltpu.make_async_copy(
+        return pltpu.make_async_copy(
             src_hbm.at[:, pl.ds(by * be, be), pl.ds(cx * LANES, LANES)],
-            x, sem_i)
-        di.start()
-        di.wait()
+            x2.at[slot], sem_i.at[slot])
 
-        data = x[...]                                   # [B, be, LANES]
+    dma_in(0, 0).start()
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < n_chunks)
+        def _():
+            dma_in(i + 1, 1 - slot).start()
+
+        dma_in(i, slot).wait()
+        raw = x2[slot]                                  # [9, be, LANES]
+        n3 = raw[0:3]
+        p3 = raw[3:6]
+        accum = raw[6:9]
+
+        # K1 feature build + store contract (bmfr.cl:447-476)
+        rows = [FEATURE_REGISTRY[name](n3, p3)
+                for name in cfg.all_features]
+        data = jnp.concatenate(
+            [jnp.stack(rows, axis=0), accum], axis=0)   # [B, be, LANES]
+        data = jnp.where(jnp.isnan(data), 0.0, data)
+        if cfg.tmp_data_dtype == "float16":
+            data = jnp.clip(data, -65504.0, 65504.0)
+        data = _quantize(cfg, data)
+
+        # per-block min/max + rescale (bmfr.cl:511-542); after
+        # _seg_reduce every lane of a block segment holds its block's
+        # min/max, so the rescale is pure elementwise
+        sub = data[lo:F]                                # [n_sc, be, LANES]
+        rmin = _seg_reduce(jnp.min(sub, axis=1), jnp.minimum, be)
+        rmax = _seg_reduce(jnp.max(sub, axis=1), jnp.maximum, be)
+        denom = jnp.where(jnp.abs(rmax - rmin) > 1.0, rmax - rmin, 1.0)
+        scaled = (sub - rmin[:, None, :]) / denom[:, None, :]
+        data = jnp.concatenate([data[:lo], scaled, data[F:]], axis=0)
+        data = _quantize(cfg, data)
+        mmstage[...] = jnp.concatenate(
+            [rmin, rmax,
+             jnp.zeros((_EXPORT_ROWS - 2 * n_sc, LANES), jnp.float32)],
+            axis=0)
+
+        # regularization noise (bmfr.cl:625-627; lane-tiled, row 0 zero)
+        data = data + jnp.concatenate(
+            [noise_vmem[...],
+             jnp.zeros((B - F, be, LANES), jnp.float32)], axis=0)
+
+        # Householder QR (bmfr.cl:549-656)
         for col in range(F):
             v = data[col]                               # [be, LANES]
             tailm = (r_iota > 0) | (c_in > col)
@@ -139,51 +183,50 @@ def _qr_kernel(cfg, n_chunks, ncx, src_hbm, out_hbm, x, stage, sem_i,
                 pieces.insert(0, data[:col])
             data = jnp.concatenate(pieces, axis=0)
 
-        # row-0 lanes hold the reduced system; pad rows to the 8-aligned
-        # DMA tiling
+        # sublane-0 lanes hold the reduced system
         stage[...] = jnp.concatenate(
             [data[:, 0, :], jnp.zeros((_EXPORT_ROWS - B, LANES),
                                       jnp.float32)], axis=0)
         do = pltpu.make_async_copy(stage, out_hbm.at[i], sem_o)
+        dm = pltpu.make_async_copy(mmstage, mm_hbm.at[i], sem_m)
         do.start()
+        dm.start()
         do.wait()
+        dm.wait()
         return 0
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
 
 
-def fit_blocks_direct(cfg, view, frame, interpret=None):
-    """Fit all blocks from the jittered image-layout feature view.
+def fit_blocks_direct(cfg, view9, frame, interpret=None):
+    """Fit all blocks from the raw jittered image-layout planes.
 
-    view: ``[buffer_count, mh, mw]`` f32 from
-    :func:`bmfr_tpu.ops.blockify.blockify_view` (unscaled features +
-    accumulated color). Returns (weights ``f32[n_blocks, F, 3]``,
-    mins_maxs ``f32[n_blocks, n_scaled, 2]``) like ``fit_blocks``.
+    view9: ``[9, mh, mw]`` f32 from ``blockify_view`` over the
+    concatenated (normals, positions, accumulated color) planes —
+    *unquantized*; the K1 store contract runs in-kernel. Returns
+    (weights ``f32[n_blocks, F, 3]``, mins_maxs
+    ``f32[n_blocks, n_scaled, 2]``) like ``fit_blocks``.
     """
     assert cfg.block_edge == 32, "direct fitter requires 32x32 blocks"
     B = cfg.buffer_count
     F = cfg.feature_count
     be = cfg.block_edge
+    n_sc = cfg.features_scaled_count
     nby = cfg.blocks_y
     nbx = cfg.blocks_x
     nbx_pad, mw_pad = _pads_for_direct(cfg)
-    mh = view.shape[1]
 
-    if view.shape[2] != mw_pad:
+    if view9.shape[2] != mw_pad:
         # pad the ragged block columns with ones (fitted then discarded)
-        view = jnp.pad(view, ((0, 0), (0, 0), (0, mw_pad - view.shape[2])),
-                       constant_values=1.0)
+        view9 = jnp.pad(
+            view9, ((0, 0), (0, 0), (0, mw_pad - view9.shape[2])),
+            constant_values=1.0)
 
-    view, mins_maxs = scale_view(cfg, view)
-    view = _quantize(cfg, view)
-
-    # regularization noise, tiled to image layout: noise[f, e] lives at
-    # (y % be, x % be) with e = x_in + be*y_in (bmfr.cl:89-97, :625-627)
+    # lane-tiled noise: noise[f, e] lives at (sublane e//be, lane e%be)
+    # in every block segment (bmfr.cl:89-97, :625-627)
     noise = feature_noise(frame, F, cfg.block_pixels, B,
                           cfg.noise_amount)              # [F, bp]
-    noise_tile = noise.reshape(F, be, be)
-    noise_img = jnp.tile(noise_tile, (1, nby, nbx_pad))
-    view = view.at[:F].add(noise_img)
+    noise_lanes = jnp.tile(noise.reshape(F, be, be), (1, 1, CHUNK))
 
     ncx = mw_pad // LANES
     n_chunks = nby * ncx
@@ -192,27 +235,41 @@ def fit_blocks_direct(cfg, view, frame, interpret=None):
         interpret = jax.default_backend() != "tpu"
 
     kernel = functools.partial(_qr_kernel, cfg, n_chunks, ncx)
-    reduced = pl.pallas_call(
+    reduced, mm = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_chunks, _EXPORT_ROWS, LANES),
-                                       jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_chunks, _EXPORT_ROWS, LANES),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((n_chunks, _EXPORT_ROWS, LANES),
+                                 jnp.float32),
+        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((B, be, LANES), jnp.float32),
+            pltpu.VMEM((2, 9, be, LANES), jnp.float32),
             pltpu.VMEM((_EXPORT_ROWS, LANES), jnp.float32),
+            pltpu.VMEM((_EXPORT_ROWS, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(view)
+    )(view9, noise_lanes)
 
     # [n_chunks, rows, LANES] -> per-block reduced [n_blocks, B, be]
     red = reduced[:, :B].reshape(nby, ncx, B, CHUNK, be)
     red = red.transpose(0, 1, 3, 2, 4).reshape(nby, nbx_pad, B, be)
     red = red[:, :nbx].reshape(cfg.n_blocks, B, be)
+
+    # mins/maxs: every lane of a segment holds the block value
+    mmv = mm[:, :2 * n_sc, ::be]                        # [nc, 12, CHUNK]
+    mmv = (mmv.reshape(nby, ncx, 2, n_sc, CHUNK)
+           .transpose(0, 1, 4, 3, 2).reshape(nby, nbx_pad, n_sc, 2))
+    mins_maxs = mmv[:, :nbx].reshape(cfg.n_blocks, n_sc, 2)
 
     R = jnp.triu(jnp.swapaxes(red[:, :F, :F], 1, 2))
     rhs = jnp.swapaxes(red[:, F:B, :F], 1, 2)

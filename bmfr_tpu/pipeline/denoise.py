@@ -127,15 +127,19 @@ def denoise_frame(cfg, state: TemporalState, inputs: FrameInputs,
     direct = (cfg.fitter_impl == "pallas_direct"
               and cfg.block_edge == 32 and cfg.solver == "householder")
     if direct:
-        from ..ops.blockify import build_feature_view
+        from ..ops.blockify import blockify_view
         from ..ops.fitter_direct import fit_blocks_direct
         from ..ops.weighted_sum import weighted_sum_image
 
         with jax.named_scope("k2_blockify"):
-            view = build_feature_view(
-                cfg, inputs.normals, inputs.positions, k1["accum"], frame)
+            # raw planes only — feature build + the K1 store contract +
+            # scale + noise all run inside the fused direct kernel
+            view9 = blockify_view(
+                cfg, jnp.concatenate(
+                    [inputs.normals, inputs.positions, k1["accum"]],
+                    axis=0), frame)
         with jax.named_scope("k2_fitter"):
-            weights, mins_maxs = fit_blocks_direct(cfg, view, frame)
+            weights, mins_maxs = fit_blocks_direct(cfg, view9, frame)
         with jax.named_scope("k3_weighted_sum"):
             filtered = weighted_sum_image(
                 cfg, weights, mins_maxs, inputs.normals, inputs.positions,

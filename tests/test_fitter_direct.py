@@ -6,10 +6,15 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from bmfr_tpu.ops.blockify import build_feature_blocks, build_feature_view
+from bmfr_tpu.ops.blockify import blockify_view, build_feature_blocks
 from bmfr_tpu.ops.fitter import fit_blocks
 from bmfr_tpu.ops.fitter_direct import fit_blocks_direct
 from conftest import to_chw
+
+
+def raw_view(cfg, normals, positions, accum, frame):
+    return blockify_view(
+        cfg, jnp.concatenate([normals, positions, accum], axis=0), frame)
 
 
 @pytest.fixture(scope="module")
@@ -26,7 +31,7 @@ def test_direct_matches_xla(tiny_cfg, frame_planes, frame):
     f = jnp.int32(frame)
     tmp = build_feature_blocks(tiny_cfg, normals, positions, accum, f)
     w_x, mm_x = fit_blocks(tiny_cfg, tmp, f, impl="xla")
-    view = build_feature_view(tiny_cfg, normals, positions, accum, f)
+    view = raw_view(tiny_cfg, normals, positions, accum, f)
     w_d, mm_d = fit_blocks_direct(tiny_cfg, view, f)
     np.testing.assert_allclose(np.asarray(mm_d), np.asarray(mm_x),
                                rtol=1e-6, atol=1e-6)
@@ -42,7 +47,7 @@ def test_direct_reduced_precision(tiny_cfg, frame_planes, dtype):
     f = jnp.int32(1)
     tmp = build_feature_blocks(cfg, normals, positions, accum, f)
     w_x, _ = fit_blocks(cfg, tmp, f, impl="xla")
-    view = build_feature_view(cfg, normals, positions, accum, f)
+    view = raw_view(cfg, normals, positions, accum, f)
     w_d, _ = fit_blocks_direct(cfg, view, f)
     np.testing.assert_allclose(np.asarray(w_d), np.asarray(w_x),
                                rtol=5e-3, atol=5e-3)

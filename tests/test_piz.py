@@ -94,7 +94,10 @@ def test_python_exr_roundtrip(tmp_path, comp, half):
     if half:
         exp = img.astype(np.float16).astype(np.float32)
     elif comp == "pxr24":
-        exp = ((img.view(np.uint32) >> 8) << 8).view(np.float32)
+        # OpenEXR floatToFloat24 rounding (see test_exr_conformance)
+        u = img.view(np.uint32).astype(np.uint64)
+        exp = ((((u + 0x7F) >> 8) << 8).astype(np.uint32)
+               .view(np.float32))
     else:
         exp = img
     assert np.array_equal(back, exp)
