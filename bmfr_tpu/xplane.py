@@ -23,6 +23,13 @@ from collections import defaultdict
 #: Stage scope names emitted by the pipeline (jax.named_scope) in
 #: reference kernel order (opencl/bmfr.cpp:446-476).
 STAGE_SCOPES = (
+    # warp sub-scopes first: the matcher takes the first scope substring
+    # found in op_name, and these nest inside warp_taps
+    "warp_pack",
+    "warp_plan",
+    "warp_kernel",
+    "warp_fixup",
+    "warp_fallback",
     "warp_taps",
     "k1_accumulate_noisy",
     "k2_blockify",

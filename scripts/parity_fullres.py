@@ -86,7 +86,7 @@ def main():
     for mode in args.modes.split(","):
         cfg = base.replace(
             warp_mode=mode,
-            fitter_impl="pallas" if mode == "pallas" else "auto",
+            fitter_impl="pallas_direct" if mode == "pallas" else "auto",
         ).validate()
         print(f"[parity] pipeline warp_mode={mode}...", file=sys.stderr)
         t0 = time.time()

@@ -26,10 +26,11 @@ def main():
 
     H, W = 720, 1280
     mode = os.environ.get("WARP_MODE", "pallas")
+    fitter = os.environ.get("FITTER", "pallas_direct")
     cfg = BMFRConfig(image_width=W, image_height=H,
                      position_limit_squared=0.03,
                      normal_limit_squared=0.5,
-                     warp_mode=mode).validate()
+                     warp_mode=mode, fitter_impl=fitter).validate()
     sc = synthetic_sequence(width=W, height=H, frames=FRAMES)
     to_tchw = lambda a: jnp.asarray(np.moveaxis(a, -1, 1).astype(np.float32))
     inputs = FrameInputs(

