@@ -37,11 +37,12 @@ def _build_argparser():
     p.add_argument("--solver", default="householder",
                    choices=["householder", "cholesky"])
     p.add_argument("--fitter-impl", default="auto",
-                   choices=["auto", "xla", "pallas"])
+                   choices=["auto", "xla", "pallas", "pallas_direct"])
     p.add_argument("--tmp-dtype", default="float32",
                    choices=["float32", "float16", "bfloat16"])
     p.add_argument("--warp-mode", default="float32",
-                   choices=["float32", "packed_bf16", "packed_x_bf16"])
+                   choices=["float32", "packed_bf16", "packed_x_bf16",
+                            "pallas"])
     p.add_argument("--block-edge", type=int, default=32)
     p.add_argument("--mode", default="frame",
                    choices=["frame", "scan", "stream"],

@@ -81,8 +81,30 @@ def _seg_reduce(x, op, be):
     return x
 
 
-def _qr_kernel(cfg, n_chunks, ncx, src_hbm, noise_vmem, out_hbm, mm_hbm,
-               x2, stage, mmstage, sem_i, sem_o, sem_m):
+def _seg_bcast_from(x, r, be):
+    """Broadcast the value at lane offset ``r`` of every ``be``-lane
+    segment to all lanes of its segment (log-step doubling; ``r`` is
+    static)."""
+    lanes = x.shape[-1]
+    ax = x.ndim - 1
+    if r:
+        x = pltpu.roll(x, shift=lanes - r, axis=ax)    # y[l] = x[l+r]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, ax) % be
+    sh = 1
+    while sh < be:
+        y = pltpu.roll(x, shift=sh, axis=ax)           # y[l] = x[l-sh]
+        x = jnp.where(lane >= sh, y, x)
+        sh *= 2
+    return x
+
+
+def _qr_kernel(cfg, n_chunks, ncx, reconstruct, src_hbm, noise_vmem,
+               *refs):
+    if reconstruct:
+        (recon_hbm, x2, fstage, sem_i, sem_f) = refs
+    else:
+        (out_hbm, mm_hbm, x2, stage, mmstage, sem_i, sem_o,
+         sem_m) = refs
     F = cfg.feature_count
     B = cfg.buffer_count
     be = cfg.block_edge
@@ -139,12 +161,19 @@ def _qr_kernel(cfg, n_chunks, ncx, src_hbm, noise_vmem, out_hbm, mm_hbm,
         rmax = _seg_reduce(jnp.max(sub, axis=1), jnp.maximum, be)
         denom = jnp.where(jnp.abs(rmax - rmin) > 1.0, rmax - rmin, 1.0)
         scaled = (sub - rmin[:, None, :]) / denom[:, None, :]
+        if reconstruct:
+            # K3's reconstruction basis: the reference's weighted_sum
+            # re-reads the K1-stored features and rescales in registers
+            # (opencl/bmfr.cl:724-747) — stored-precision features,
+            # f32 rescale, no re-store rounding, no noise
+            basis = jnp.concatenate([data[:lo], scaled], axis=0)
         data = jnp.concatenate([data[:lo], scaled, data[F:]], axis=0)
         data = _quantize(cfg, data)
-        mmstage[...] = jnp.concatenate(
-            [rmin, rmax,
-             jnp.zeros((_EXPORT_ROWS - 2 * n_sc, LANES), jnp.float32)],
-            axis=0)
+        if not reconstruct:
+            mmstage[...] = jnp.concatenate(
+                [rmin, rmax,
+                 jnp.zeros((_EXPORT_ROWS - 2 * n_sc, LANES),
+                           jnp.float32)], axis=0)
 
         # regularization noise (bmfr.cl:625-627; lane-tiled, row 0 zero)
         data = data + jnp.concatenate(
@@ -183,16 +212,45 @@ def _qr_kernel(cfg, n_chunks, ncx, src_hbm, noise_vmem, out_hbm, mm_hbm,
                 pieces.insert(0, data[:col])
             data = jnp.concatenate(pieces, axis=0)
 
-        # sublane-0 lanes hold the reduced system
-        stage[...] = jnp.concatenate(
-            [data[:, 0, :], jnp.zeros((_EXPORT_ROWS - B, LANES),
-                                      jnp.float32)], axis=0)
-        do = pltpu.make_async_copy(stage, out_hbm.at[i], sem_o)
-        dm = pltpu.make_async_copy(mmstage, mm_hbm.at[i], sem_m)
-        do.start()
-        dm.start()
-        do.wait()
-        dm.wait()
+        if not reconstruct:
+            # sublane-0 lanes hold the reduced system
+            stage[...] = jnp.concatenate(
+                [data[:, 0, :], jnp.zeros((_EXPORT_ROWS - B, LANES),
+                                          jnp.float32)], axis=0)
+            do = pltpu.make_async_copy(stage, out_hbm.at[i], sem_o)
+            dm = pltpu.make_async_copy(mmstage, mm_hbm.at[i], sem_m)
+            do.start()
+            dm.start()
+            do.wait()
+            dm.wait()
+            return 0
+
+        # In-kernel back substitution + reconstruction (K3 fused).
+        # The reduced system sits in sublane 0: R[r, c] at lane offset
+        # r of channel c, (Q^T b)[r, ch] at lane offset r of channel
+        # F+ch — solve R w = Q^T b per block (opencl/bmfr.cl:657-712),
+        # then color = sum_f w[f] * basis[f] (bmfr.cl:724-747), all
+        # without leaving VMEM.
+        redl = data[:, 0, :]                            # [B, LANES]
+        Rrows = []                                      # [F][B, LANES]
+        for r in range(F):
+            Rrows.append(_seg_bcast_from(redl, r, be))
+        w = [None] * F
+        for c in reversed(range(F)):
+            acc = Rrows[c][F:B]                         # y[c]: [3, LANES]
+            for c2 in range(c + 1, F):
+                acc = acc - Rrows[c][c2][None] * w[c2]
+            w[c] = acc / Rrows[c][c][None]              # [3, LANES]
+
+        color = jnp.zeros((3, be, LANES), jnp.float32)
+        for f in range(F):
+            color = color + basis[f][None] * w[f][:, None, :]
+        fstage[...] = jnp.maximum(color, 0.0)
+        df = pltpu.make_async_copy(fstage, recon_hbm.at[
+            :, pl.ds((i // ncx) * be, be),
+            pl.ds((i % ncx) * LANES, LANES)], sem_f)
+        df.start()
+        df.wait()
         return 0
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
@@ -234,7 +292,7 @@ def fit_blocks_direct(cfg, view9, frame, interpret=None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    kernel = functools.partial(_qr_kernel, cfg, n_chunks, ncx)
+    kernel = functools.partial(_qr_kernel, cfg, n_chunks, ncx, False)
     reduced, mm = pl.pallas_call(
         kernel,
         out_shape=[
@@ -276,3 +334,61 @@ def fit_blocks_direct(cfg, view9, frame, interpret=None):
     weights = jax.lax.linalg.triangular_solve(
         R, rhs, left_side=True, lower=False)
     return weights, mins_maxs
+
+
+def fit_reconstruct_direct(cfg, view9, frame, interpret=None):
+    """Fully fused K2+K3: fit every block AND reconstruct the filtered
+    color in one kernel pass — back substitution and the weighted sum
+    run in VMEM right after the QR, so no reduced-system export, no
+    XLA triangular solve, no image-space feature re-evaluation, no
+    block-weight upsample (the ~0.85 ms/frame ``weighted_sum_image``
+    path disappears; docs/PERF_NOTES.md round 3).
+
+    view9: ``[9, mh, mw]`` f32 from ``blockify_view`` (normals,
+    positions, accumulated color). Returns the filtered color in the
+    same jittered margins-grid view layout ``f32[3, mh, mw]``; the
+    caller slices the image window back out with the inverse jitter
+    (same mapping as unblockify_planes / opencl/bmfr.cl:718-722).
+    """
+    assert cfg.block_edge == 32, "direct fitter requires 32x32 blocks"
+    B = cfg.buffer_count
+    F = cfg.feature_count
+    be = cfg.block_edge
+    nby = cfg.blocks_y
+    nbx_pad, mw_pad = _pads_for_direct(cfg)
+    mh, mw = view9.shape[1], view9.shape[2]
+
+    if view9.shape[2] != mw_pad:
+        view9 = jnp.pad(
+            view9, ((0, 0), (0, 0), (0, mw_pad - view9.shape[2])),
+            constant_values=1.0)
+
+    noise = feature_noise(frame, F, cfg.block_pixels, B,
+                          cfg.noise_amount)              # [F, bp]
+    noise_lanes = jnp.tile(noise.reshape(F, be, be), (1, 1, CHUNK))
+
+    ncx = mw_pad // LANES
+    n_chunks = nby * ncx
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    kernel = functools.partial(_qr_kernel, cfg, n_chunks, ncx, True)
+    recon = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((3, nby * be, mw_pad),
+                                       jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, 9, be, LANES), jnp.float32),
+            pltpu.VMEM((3, be, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(view9, noise_lanes)
+    return recon[:, :mh, :mw]

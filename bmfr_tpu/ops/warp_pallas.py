@@ -300,6 +300,35 @@ def _warp_kernel(C, nty, ntx,
     jax.lax.fori_loop(0, NT, body, 0)
 
 
+def cumsum_mxu(x):
+    """Inclusive prefix sum of an i32 vector on the MXU.
+
+    XLA lowers ``jnp.cumsum`` on a 921k vector to a log-step shift
+    chain costing ~1.1 ms/frame (scripts/probe_fixup.py). A prefix sum
+    is a triangular matmul: reshape to ``[n/128, 128]`` rows, multiply
+    by the 128x128 upper-triangular ones matrix for the in-row prefix
+    (one MXU pass), and add recursively-prefix-summed row totals.
+    Exact while the total stays below 2^24 (f32 integer range) — the
+    caller's masks sum to <= H*W = 921600.
+    """
+    i32 = jnp.int32
+    n = x.shape[0]
+    L = 128
+    if n <= 2 * L:
+        return jnp.cumsum(x)
+    nr = -(-n // L)
+    m = jnp.pad(x, (0, nr * L - n)).reshape(nr, L).astype(jnp.float32)
+    tri = (jnp.arange(L)[:, None] <= jnp.arange(L)[None, :]).astype(
+        jnp.float32)
+    # HIGHEST: recursion levels carry integer values > 2^8, which a
+    # default-precision (bf16-pass) MXU matmul could round
+    pre = jnp.dot(m, tri, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    rowtot = pre[:, -1].astype(i32)
+    off = cumsum_mxu(rowtot) - rowtot
+    return (pre.astype(i32) + off[:, None]).reshape(-1)[:n]
+
+
 def compact_indices(mask_flat, k):
     """First ``k`` indices of set bits in ``mask_flat`` (i32), plus the
     total count. Two-level rank search: `jnp.nonzero` lowers to a
@@ -307,12 +336,13 @@ def compact_indices(mask_flat, k):
     `jnp.searchsorted` to log2(n) k-sized gather rounds; here the
     1024-element block containing each rank comes from one comparison
     matrix (no gathers) and only the 10 in-block halving steps gather.
+    The prefix sum itself runs on the MXU (:func:`cumsum_mxu`).
     """
     i32 = jnp.int32
     n = mask_flat.shape[0]
     BS = 1024
     nb = -(-n // BS)
-    cs = jnp.cumsum(mask_flat.astype(i32))
+    cs = cumsum_mxu(mask_flat.astype(i32))
     total = cs[-1]
     cs_pad = jnp.pad(cs, (0, nb * BS - n), constant_values=cs[-1])
     csb = cs_pad[BS - 1 :: BS]                       # block-end ranks
@@ -326,7 +356,11 @@ def compact_indices(mask_flat, k):
         v = cs_pad[jnp.clip(cand - 1, 0, nb * BS - 1)]
         pos = jnp.where(v < q, cand, pos)
         step //= 2
-    idx = jnp.where(q <= total, jnp.clip(pos, 0, n - 1), 0).astype(i32)
+    # overflow ranks pad with n-1 (not 0) so the index list stays
+    # sorted — the fix-up scatter then runs with indices_are_sorted
+    # (padded slots rewrite pixel n-1 with its own bit-identical value)
+    idx = jnp.where(q <= total, jnp.clip(pos, 0, n - 1),
+                    n - 1).astype(i32)
     return idx, total
 
 
@@ -721,8 +755,8 @@ def _blend_kernel3(cfg, nty, ntx,
                           make_body(ky, kx, whp), 0)
 
 
-def warp_blend_pallas(cfg, stacked, cur6, pfx, pfy, *, fixup_k=FIXUP_K,
-                      interpret=None):
+def warp_blend_pallas(cfg, stacked, cur6, pfx, pfy, *, src8=None,
+                      fixup_k=FIXUP_K, interpret=None):
     """Fused temporal warp + per-stage blend.
 
     stacked: f32 ``[16, H, W]`` recurrent channels (pipeline stack
@@ -731,6 +765,12 @@ def warp_blend_pallas(cfg, stacked, cur6, pfx, pfy, *, fixup_k=FIXUP_K,
     the 13 blend planes of :func:`blend_from_taps` as f32 ``[13, H, W]``
     plus an i32 ``[6]`` engagement record ``[n_uncovered, fallback_flag,
     tiles_phase0, tiles_phase1, tiles_phase2, kernel_served_pixels]``.
+
+    ``src8``: optionally the ch-pair bf16 pack of the recurrent stack
+    (``pack_pairs_bf16(stacked)``), e.g. a :class:`PackedState` carried
+    across frames — then ``stacked`` may be ``None`` and no per-frame
+    pack runs (pack(unpack(x)) is the identity on bf16 payloads, so tap
+    values are bit-identical either way).
 
     Three-tier exactness contract on the blended outputs: kernel for
     covered pixels, compact fix-up for window-miss/fold pixels, whole-
@@ -741,15 +781,19 @@ def warp_blend_pallas(cfg, stacked, cur6, pfx, pfy, *, fixup_k=FIXUP_K,
     from .warp import gather_taps, pack_pairs_bf16
 
     i32 = jnp.int32
-    H, W = stacked.shape[1:]
+    if src8 is None:
+        H, W = stacked.shape[1:]
+    else:
+        H, W = src8.shape[1:]
     ix = floor_int(pfx)
     iy = floor_int(pfy)
     fx = pfx - ix.astype(jnp.float32)
     fy = pfy - iy.astype(jnp.float32)
     bits = _mask_bits(iy, ix, H, W)
 
-    with jax.named_scope("warp_pack"):
-        src8 = pack_pairs_bf16(stacked)              # [8, H, W] i32
+    if src8 is None:
+        with jax.named_scope("warp_pack"):
+            src8 = pack_pairs_bf16(stacked)          # [8, H, W] i32
     nty, ntx = -(-H // TH), -(-W // TC)
     Hk, Wk = nty * TH, ntx * TC
     with jax.named_scope("warp_plan"):
@@ -776,50 +820,84 @@ def warp_blend_pallas(cfg, stacked, cur6, pfx, pfy, *, fixup_k=FIXUP_K,
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     out_shape = jax.ShapeDtypeStruct((BLEND_PLANES, Hk, Wk), jnp.float32)
 
-    def with_fixup(_):
-        with jax.named_scope("warp_kernel"):
-            out = pl.pallas_call(
-                kernel,
-                out_shape=out_shape,
-                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 5
-                + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
-                out_specs=pl.BlockSpec(memory_space=pl.ANY),
-                scratch_shapes=scratch,
-                compiler_params=params,
-                interpret=interpret,
-            )(plan.bounds, plan.order, plan.wo, plan.raxo, plan.resid,
-              plan.src_pad, plan.sel_u, plan.sel_rest, cur_pad)
-            blended = out[:, :H, :W]
+    # The kernel runs unconditionally (one compiled pallas_call, shared
+    # by every fix-up tier; a rare fallback frame wastes its ~1 ms).
+    with jax.named_scope("warp_kernel"):
+        out = pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 5
+            + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=scratch,
+            compiler_params=params,
+            interpret=interpret,
+        )(plan.bounds, plan.order, plan.wo, plan.raxo, plan.resid,
+          plan.src_pad, plan.sel_u, plan.sel_rest, cur_pad)
+        blended = out[:, :H, :W]
 
-        # Compact fix-up: one gather over the 4 concatenated tap index
-        # sets, exact bf16-identical blend, scatter over the kernel out.
-        with jax.named_scope("warp_fixup"):
-            idx, _ = compact_indices(plan.uncovered.ravel(), fixup_k)
-            iy0 = jnp.clip(iy, 0, H - 1).ravel()[idx]
-            iy1 = jnp.clip(iy + 1, 0, H - 1).ravel()[idx]
-            ix0 = jnp.clip(ix, 0, W - 1).ravel()[idx]
-            ix1 = jnp.clip(ix + 1, 0, W - 1).ravel()[idx]
-            flat = jnp.concatenate([iy0 * W + ix0, iy0 * W + ix1,
-                                    iy1 * W + ix0, iy1 * W + ix1])
-            words = src8.reshape(8, H * W)[:, flat]   # [8, 4K]
-            k = idx.shape[0]
-            tv = [_unpack_ch_pairs(words[:, i * k:(i + 1) * k])
-                  for i in range(4)]
-            fix = blend_from_taps(
-                cfg, tv[0], tv[1], tv[2], tv[3],
-                cur6.reshape(6, H * W)[:, idx],
-                bits.ravel()[idx], fx.ravel()[idx], fy.ravel()[idx])
-            return (blended.reshape(BLEND_PLANES, H * W)
-                    .at[:, idx].set(fix).reshape(BLEND_PLANES, H, W))
+    def bc_i32(v):
+        return jax.lax.bitcast_convert_type(v, jnp.int32)
+
+    def bc_f32(v):
+        return jax.lax.bitcast_convert_type(v, jnp.float32)
+
+    def make_fixup(k):
+        # Compact fix-up at capacity ``k``: ONE rider-stacked gather for
+        # every per-pixel auxiliary (gather cost is per op, riders ~free
+        # — docs/PERF_NOTES.md), one gather over the 4 concatenated tap
+        # index sets, exact bf16-identical blend, sorted scatter over
+        # the kernel output.
+        def fixup(_):
+            with jax.named_scope("warp_fixup"):
+                idx, _ = compact_indices(plan.uncovered.ravel(), k)
+                aux = jnp.concatenate([
+                    iy.reshape(1, -1), ix.reshape(1, -1),
+                    bits.reshape(1, -1), bc_i32(fx).reshape(1, -1),
+                    bc_i32(fy).reshape(1, -1),
+                    bc_i32(cur6).reshape(6, -1)], axis=0)
+                a = aux[:, idx]                       # [11, k]
+                iyk, ixk, bitsk = a[0], a[1], a[2]
+                fxk, fyk = bc_f32(a[3]), bc_f32(a[4])
+                cur6k = bc_f32(a[5:11])
+                iy0 = jnp.clip(iyk, 0, H - 1)
+                iy1 = jnp.clip(iyk + 1, 0, H - 1)
+                ix0 = jnp.clip(ixk, 0, W - 1)
+                ix1 = jnp.clip(ixk + 1, 0, W - 1)
+                flat = jnp.concatenate([iy0 * W + ix0, iy0 * W + ix1,
+                                        iy1 * W + ix0, iy1 * W + ix1])
+                words = src8.reshape(8, H * W)[:, flat]   # [8, 4k]
+                tv = [_unpack_ch_pairs(words[:, i * k:(i + 1) * k])
+                      for i in range(4)]
+                fix = blend_from_taps(
+                    cfg, tv[0], tv[1], tv[2], tv[3], cur6k,
+                    bitsk, fxk, fyk)
+                return (blended.reshape(BLEND_PLANES, H * W)
+                        .at[:, idx].set(fix, indices_are_sorted=True)
+                        .reshape(BLEND_PLANES, H, W))
+        return fixup
 
     def full_fallback(_):
         with jax.named_scope("warp_fallback"):
-            taps = gather_taps(stacked, iy, ix, mode="packed_x_bf16")
+            # packed-state callers reconstruct the f32 stack from the
+            # pack; the x-pair re-pack inside gather_taps re-rounds
+            # bf16(bf16(x)) = bf16(x), so taps stay bit-identical
+            stk = stacked if stacked is not None else _unpack_ch_pairs(
+                src8)
+            taps = gather_taps(stk, iy, ix, mode="packed_x_bf16")
             return blend_from_taps(cfg, taps[0], taps[1], taps[2],
                                    taps[3], cur6, bits, fx, fy)
 
+    # Steady frames carry ~3.4-3.9k uncovered pixels (fold conflicts +
+    # window misses); search/gather/scatter all scale with capacity, so
+    # a half-size tier serves them and the full tier keeps headroom
+    # before the whole-frame fallback engages.
+    small_k = fixup_k // 2
     in_kernel = plan.n_uncovered <= fixup_k
-    planes = jax.lax.cond(in_kernel, with_fixup, full_fallback, None)
+    planes = jax.lax.cond(
+        plan.n_uncovered <= small_k, make_fixup(small_k),
+        lambda arg: jax.lax.cond(in_kernel, make_fixup(fixup_k),
+                                 full_fallback, arg), None)
     served = jnp.where(in_kernel, i32(H * W) - plan.n_uncovered, i32(0))
     stats = jnp.concatenate([
         plan.n_uncovered[None], (~in_kernel).astype(i32)[None],

@@ -39,9 +39,36 @@ class FrameInputs(NamedTuple):
     albedo: jnp.ndarray
 
 
-def denoise_frame(cfg, state: TemporalState, inputs: FrameInputs,
-                  prev_cam, pixel_offset, frame):
+class PackedState(NamedTuple):
+    """The recurrent state carried as the fused warp's ch-pair bf16
+    pack: all 16 recurrent channels (positions 3, normals 3, noisy 3,
+    spp 1, out 3, result 3 — :func:`bmfr_tpu.ops.warp.pack_pairs_bf16`
+    order) in one i32 ``[8, H, W]`` word array.
+
+    Valid only with ``warp_mode="pallas"``: every consumer of the
+    previous frame's buffers reads them through bf16-rounded taps
+    (pipeline/denoise.py warp scope), so rounding at state-store
+    instead of at tap-read produces bit-identical taps while halving
+    the scan-carry footprint and deleting the per-frame 16-plane
+    concat+pack (the reference's double-buffer swap — opencl/
+    bmfr.cpp:482-484 — moves no bytes either).
+    """
+
+    src8: jnp.ndarray       # i32[8, H, W]
+
+
+def denoise_frame(cfg, state, inputs: FrameInputs,
+                  prev_cam, pixel_offset, frame, history="dynamic"):
     """Run the full 5-stage chain for one frame.
+
+    ``state``: a :class:`TemporalState` (raw f32 planes) or, with
+    ``warp_mode="pallas"``, a :class:`PackedState`; a packed state is
+    returned packed. ``history`` statically pins the history branch:
+    ``"dynamic"`` gates on ``frame > 0`` under ``lax.cond`` (the
+    general per-frame API), ``"never"``/``"always"`` compile only the
+    corresponding branch (the sequence scan hoists frame 0 out, so its
+    steady-state body carries no conditional and none of the cond's
+    buffer copies).
 
     Returns ``(new_state, outputs)`` where outputs is a dict holding the
     final ``result`` plus the intermediates needed for testing/debugging.
@@ -63,6 +90,18 @@ def denoise_frame(cfg, state: TemporalState, inputs: FrameInputs,
     # of the reference's per-kernel CL event timers, bmfr.cpp:386-412)
     H, W = cfg.image_height, cfg.image_width
     fused = cfg.warp_mode == "pallas"
+    packed = isinstance(state, PackedState)
+    assert not (packed and not fused), (
+        "PackedState requires warp_mode='pallas'")
+    assert history in ("dynamic", "never", "always"), history
+
+    def gate(fetch, no_history):
+        if history == "always":
+            return fetch(None)
+        if history == "never":
+            return no_history(None)
+        return jax.lax.cond(frame > 0, fetch, no_history, None)
+
     with jax.named_scope("warp_taps"):
         pfx, pfy = reproject_coords(
             cfg, inputs.positions, prev_cam, pixel_offset)
@@ -75,6 +114,13 @@ def denoise_frame(cfg, state: TemporalState, inputs: FrameInputs,
                  state.spp.astype(jnp.float32)[None], state.out,
                  state.result], axis=0)                # [16, H, W]
 
+        def state_seed():
+            # derived from state so both history branches carry the
+            # same device-variance under shard_map
+            if packed:
+                return (state.src8[0] * 0).astype(jnp.float32)
+            return state.result[0] * 0.0
+
         # At frame 0 every consumer masks its taps out (no history), and
         # the frame-0 pseudo-reprojection field is wild enough to push
         # the Pallas warp into its whole-frame fallback — skip the fetch.
@@ -84,18 +130,18 @@ def denoise_frame(cfg, state: TemporalState, inputs: FrameInputs,
             def fetch(_):
                 cur6 = jnp.concatenate(
                     [inputs.positions, inputs.normals], axis=0)
+                if packed:
+                    return warp_blend_pallas(cfg, None, cur6, pfx, pfy,
+                                             src8=state.src8)
                 return warp_blend_pallas(cfg, stack_state(), cur6,
                                          pfx, pfy)
 
             def no_history(_):
-                # derived from state so both cond branches carry the
-                # same device-variance under shard_map
-                return ((state.result[0] * 0.0)[None] + jnp.zeros(
+                return (state_seed()[None] + jnp.zeros(
                     (BLEND_PLANES, H, W), jnp.float32),
                     jnp.zeros((6,), jnp.int32))
 
-            planes, warp_stats = jax.lax.cond(
-                frame > 0, fetch, no_history, None)
+            planes, warp_stats = gate(fetch, no_history)
             pre = dict(
                 k1_color_sum=planes[0:3], k1_spp_sum=planes[3],
                 total_weight=planes[4],
@@ -110,26 +156,31 @@ def denoise_frame(cfg, state: TemporalState, inputs: FrameInputs,
                                    mode=cfg.warp_mode)
 
             def no_history(_):
-                return (state.result[0] * 0.0)[None, None] + jnp.zeros(
+                return state_seed()[None, None] + jnp.zeros(
                     (4, 16, H, W), jnp.float32)
 
-            all_taps = jax.lax.cond(frame > 0, fetch, no_history, None)
+            all_taps = gate(fetch, no_history)
             taps_k1 = all_taps[:, 0:10]
             taps_k4 = all_taps[:, 10:13]
             taps_k5 = all_taps[:, 13:16]
 
     with jax.named_scope("k1_accumulate_noisy"):
+        # with pre-blended taps (fused warp) the prev_* buffers are
+        # never read — a PackedState has no raw planes to pass
+        prev3 = (None,) * 4 if packed else (
+            state.normals, state.positions, state.noisy, state.spp)
         k1 = accumulate_noisy_data(
             cfg, inputs.normals, inputs.positions, inputs.noisy,
-            state.normals, state.positions, state.noisy, state.spp,
-            prev_cam, pixel_offset, frame, taps=taps_k1)
+            *prev3, prev_cam, pixel_offset, frame, taps=taps_k1)
 
     direct = (cfg.fitter_impl == "pallas_direct"
               and cfg.block_edge == 32 and cfg.solver == "householder")
-    if direct:
-        from ..ops.blockify import blockify_view
-        from ..ops.fitter_direct import fit_blocks_direct
-        from ..ops.weighted_sum import weighted_sum_image
+    weights = mins_maxs = None   # not materialized on the fused path
+    if direct and cfg.skip_fitting:
+        filtered = k1["accum"]
+    elif direct:
+        from ..ops.blockify import blockify_view, jitter_offset
+        from ..ops.fitter_direct import fit_reconstruct_direct
 
         with jax.named_scope("k2_blockify"):
             # raw planes only — feature build + the K1 store contract +
@@ -139,11 +190,16 @@ def denoise_frame(cfg, state: TemporalState, inputs: FrameInputs,
                     [inputs.normals, inputs.positions, k1["accum"]],
                     axis=0), frame)
         with jax.named_scope("k2_fitter"):
-            weights, mins_maxs = fit_blocks_direct(cfg, view9, frame)
+            # K2+K3 fused: fit + back-substitute + reconstruct in VMEM
+            fview = fit_reconstruct_direct(cfg, view9, frame)
         with jax.named_scope("k3_weighted_sum"):
-            filtered = weighted_sum_image(
-                cfg, weights, mins_maxs, inputs.normals, inputs.positions,
-                k1["accum"], frame)
+            # inverse jitter: image pixel (y, x) = view[y + half - off1,
+            # x + half - off0] (unblockify mapping, bmfr.cl:718-722)
+            half = cfg.block_edge // 2
+            off = jitter_offset(frame, cfg.block_edge)
+            filtered = jax.lax.dynamic_slice(
+                fview, (jnp.int32(0), half - off[1], half - off[0]),
+                (3, cfg.image_height, cfg.image_width))
     else:
         with jax.named_scope("k2_blockify"):
             tmp = build_feature_blocks(
@@ -159,20 +215,32 @@ def denoise_frame(cfg, state: TemporalState, inputs: FrameInputs,
     with jax.named_scope("k4_accumulate_filtered"):
         out, tone = accumulate_filtered_data(
             cfg, filtered, k1["prev_pixels"], k1["accept"], inputs.albedo,
-            k1["spp"], state.out, frame, taps=taps_k4)
+            k1["spp"], None if packed else state.out, frame,
+            taps=taps_k4)
 
     with jax.named_scope("k5_taa"):
-        result = taa(cfg, k1["prev_pixels"], tone, state.result, frame,
+        result = taa(cfg, k1["prev_pixels"], tone,
+                     None if packed else state.result, frame,
                      taps=taps_k5)
 
-    new_state = TemporalState(
-        normals=inputs.normals,
-        positions=inputs.positions,
-        noisy=k1["accum"],
-        spp=k1["spp"],
-        out=out,
-        result=result,
-    )
+    if packed:
+        from ..ops.warp import pack_pairs_bf16
+
+        with jax.named_scope("state_pack"):
+            new_state = PackedState(src8=pack_pairs_bf16(
+                jnp.concatenate(
+                    [inputs.positions, inputs.normals, k1["accum"],
+                     k1["spp"].astype(jnp.float32)[None], out, result],
+                    axis=0)))
+    else:
+        new_state = TemporalState(
+            normals=inputs.normals,
+            positions=inputs.positions,
+            noisy=k1["accum"],
+            spp=k1["spp"],
+            out=out,
+            result=result,
+        )
     outputs = dict(
         result=result, tone=tone, out=out, filtered=filtered,
         accum=k1["accum"], spp=k1["spp"], prev_pixels=k1["prev_pixels"],
@@ -220,15 +288,23 @@ def denoise_sequence(cfg, inputs: FrameInputs, camera_matrices,
     if initial_state is None:
         # Derive from the inputs (not fresh constants) so device-varying
         # axes propagate correctly under shard_map (see parallel/sharding).
-        z3 = jnp.zeros_like(inputs.noisy[0])
-        state = TemporalState(
-            normals=z3, positions=z3, noisy=z3,
-            spp=jnp.zeros_like(inputs.noisy[0, 0], dtype=jnp.uint8),
-            out=z3, result=z3)
+        if cfg.warp_mode == "pallas":
+            # fused mode carries the state as the warp's bf16 ch-pair
+            # pack: half the carry bytes, no per-frame concat+pack, and
+            # bit-identical taps (see PackedState)
+            state = PackedState(src8=(
+                (inputs.noisy[0, 0] * 0).astype(jnp.int32)[None]
+                + jnp.zeros((8,) + inputs.noisy.shape[-2:], jnp.int32)))
+        else:
+            z3 = jnp.zeros_like(inputs.noisy[0])
+            state = TemporalState(
+                normals=z3, positions=z3, noisy=z3,
+                spp=jnp.zeros_like(inputs.noisy[0, 0], dtype=jnp.uint8),
+                out=z3, result=z3)
     else:
         state = initial_state
 
-    def body(state, t):
+    def step(state, t, history):
         prev_cam = camera_matrices[jnp.maximum(t - 1, 0)]
         frame_in = FrameInputs(
             normals=inputs.normals[t],
@@ -237,13 +313,20 @@ def denoise_sequence(cfg, inputs: FrameInputs, camera_matrices,
             albedo=inputs.albedo[t],
         )
         new_state, outputs = denoise_frame(
-            cfg, state, frame_in, prev_cam, pixel_offsets[t], t)
+            cfg, state, frame_in, prev_cam, pixel_offsets[t], t,
+            history=history)
         ys = ((outputs["result"],) if lite_outputs
               else (outputs["result"], outputs["tone"]))
         if return_stats:
             ys = ys + (outputs["warp_stats"],)
         return new_state, ys if len(ys) > 1 else ys[0]
 
-    _, results = jax.lax.scan(
-        body, state, jnp.arange(T, dtype=jnp.int32), unroll=1)
-    return results
+    # Frame 0 statically has no history: hoisting it out of the scan
+    # removes the ``frame > 0`` conditional (and its buffer copies)
+    # from the steady-state body entirely.
+    state, ys0 = step(state, jnp.int32(0), "never")
+    _, rest = jax.lax.scan(
+        lambda s, t: step(s, t, "always"), state,
+        jnp.arange(1, T, dtype=jnp.int32), unroll=1)
+    return jax.tree.map(
+        lambda a, b: jnp.concatenate([a[None], b], axis=0), ys0, rest)

@@ -198,6 +198,33 @@ def device_op_durations(logdir, line_filter=("XLA Ops",),
     return out
 
 
+def device_busy_span(logdir, line_filter=("XLA Ops",)):
+    """(busy_ms, span_ms): summed event time vs wall span (first event
+    start to last event end) on the device op line. ``span - busy`` is
+    device idle — dispatch gaps, DMA waits outside ops, kernel launch
+    tails — which per-op attribution can never show; the difference
+    between the stage table's total and the fenced frame time lives
+    here (VERDICT r2 weak #7)."""
+    busy = 0.0
+    lo, hi = None, 0
+    for path in find_xplane_files(logdir):
+        for name, lines, meta in parse_xspace(path):
+            if "/device:TPU" not in name and "TPU" not in name.split()[0]:
+                continue
+            for line_name, events in lines:
+                if line_filter and line_name not in line_filter:
+                    continue
+                named = [(meta.get(md, str(md)), off, dur)
+                         for md, off, dur in events]
+                for _n, off, _d, x in exclusive_durations(named):
+                    busy += x
+                for _n, off, dur in named:
+                    lo = off if lo is None else min(lo, off)
+                    hi = max(hi, off + dur)
+    span = 0 if lo is None else hi - lo
+    return busy / 1e9, span / 1e9
+
+
 def scope_map_from_hlo(hlo_text, scopes=STAGE_SCOPES):
     """instruction name -> stage scope, parsed from compiled HLO text
     (the trace's op events carry the HLO text but not the op_name

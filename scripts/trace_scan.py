@@ -49,12 +49,16 @@ def main():
 
     hlo = compiled.as_text()
     per, other, total = xplane.stage_device_times(logdir, hlo_text=hlo)
+    busy, span = xplane.device_busy_span(logdir)
     print(f"scan of {FRAMES} frames, warp_mode={mode} "
           f"(device ms/frame):")
     for s, ms in per.items():
         print(f"  {s:<28}{ms / FRAMES:>9.3f}")
     print(f"  {'(unattributed)':<28}{other / FRAMES:>9.3f}")
-    print(f"  {'total':<28}{total / FRAMES:>9.3f}")
+    print(f"  {'total busy':<28}{total / FRAMES:>9.3f}")
+    print(f"  {'device idle (span-busy)':<28}"
+          f"{(span - busy) / FRAMES:>9.3f}")
+    print(f"  {'span':<28}{span / FRAMES:>9.3f}")
 
     # top unattributed ops
     smap = xplane.scope_map_from_hlo(hlo)

@@ -85,3 +85,29 @@ def test_config_rejects_unsupported_direct(tiny_cfg):
     with pytest.raises(ValueError):
         tiny_cfg.replace(fitter_impl="pallas_direct",
                          solver="cholesky").validate()
+
+
+def test_fused_reconstruct_matches_weighted_sum_image(tiny_cfg,
+                                                      frame_planes):
+    """The fully fused K2+K3 kernel (in-VMEM back substitution +
+    reconstruction) must match fit_blocks_direct + weighted_sum_image."""
+    from bmfr_tpu.ops.blockify import jitter_offset
+    from bmfr_tpu.ops.fitter_direct import fit_reconstruct_direct
+    from bmfr_tpu.ops.weighted_sum import weighted_sum_image
+
+    normals, positions, accum = frame_planes
+    H, W = tiny_cfg.image_height, tiny_cfg.image_width
+    for frame in (0, 1, 7):
+        f = jnp.int32(frame)
+        view = raw_view(tiny_cfg, normals, positions, accum, f)
+        w_d, mm_d = fit_blocks_direct(tiny_cfg, view, f)
+        want = weighted_sum_image(
+            tiny_cfg, w_d, mm_d, normals, positions, accum, f)
+        fview = fit_reconstruct_direct(tiny_cfg, view, f)
+        half = tiny_cfg.block_edge // 2
+        off = jitter_offset(f, tiny_cfg.block_edge)
+        got = jax.lax.dynamic_slice(
+            fview, (jnp.int32(0), half - off[1], half - off[0]),
+            (3, H, W))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)

@@ -289,6 +289,20 @@ def test_pipeline_fused_pallas_matches_packed(tiny_cfg, tiny_scene):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_cumsum_mxu_exact():
+    """The MXU triangular-matmul prefix sum == jnp.cumsum, including
+    non-multiple-of-128 lengths, all-ones, and full-frame scale."""
+    from bmfr_tpu.ops.warp_pallas import cumsum_mxu
+
+    rng = np.random.default_rng(31)
+    for n, p in [(1, 1.0), (127, 0.5), (128, 1.0), (129, 0.3),
+                 (4096, 0.01), (16385, 1.0), (921600, 0.004),
+                 (921600, 1.0)]:
+        x = (rng.random(n) < p).astype(np.int32)
+        got = np.asarray(cumsum_mxu(jnp.asarray(x)))
+        np.testing.assert_array_equal(got, np.cumsum(x))
+
+
 def test_compact_indices_matches_nonzero():
     """Two-level rank search == jnp.nonzero(size=K) semantics."""
     from bmfr_tpu.ops.warp_pallas import compact_indices
@@ -298,7 +312,9 @@ def test_compact_indices_matches_nonzero():
                     (5000, 128, 1.0), (921600 // 100, 512, 0.004)]:
         mask = jnp.asarray(rng.random(n) < p)
         idx, total = compact_indices(mask, k)
-        want = jnp.nonzero(mask, size=k, fill_value=0)[0]
+        # overflow ranks pad with n-1 so the list stays sorted (the
+        # scatter runs with indices_are_sorted)
+        want = jnp.nonzero(mask, size=k, fill_value=n - 1)[0]
         np.testing.assert_array_equal(np.asarray(idx), np.asarray(want))
         assert int(total) == int(mask.sum())
 
