@@ -43,6 +43,8 @@ def _build_argparser():
     p.add_argument("--warp-mode", default="float32",
                    choices=["float32", "packed_bf16", "packed_x_bf16",
                             "pallas"])
+    p.add_argument("--residual-dtype", default="float32",
+                   choices=["float32", "bfloat16"])
     p.add_argument("--block-edge", type=int, default=32)
     p.add_argument("--mode", default="frame",
                    choices=["frame", "scan", "stream"],
@@ -124,6 +126,7 @@ def main(argv=None):
             solver=args.solver, fitter_impl=args.fitter_impl,
             tmp_data_dtype=args.tmp_dtype, block_edge=args.block_edge,
             warp_mode=args.warp_mode,
+            residual_dtype=args.residual_dtype,
             skip_fitting=args.skip_fitting,
             skip_second_accum=args.skip_second_accum,
             skip_taa=args.skip_taa, **limits).validate()

@@ -106,6 +106,15 @@ class BMFRConfig:
     #: a fraction of the gather cost; falls back to the XLA gather for
     #: frames whose motion exceeds the kernel's window.
     warp_mode: str = "float32"
+    #: Arithmetic dtype for the residual elementwise bandwidth — the TAA
+    #: 3x3 YCoCg neighborhood AABB scan (K5), the stage's dominant HBM
+    #: traffic. "bfloat16" halves its bytes, mirroring the reference's
+    #: own half-precision pragmatism (opencl/bmfr.cl:255-265); clamp
+    #: bounds are perturbed <= 1 bf16 ulp and outputs stay f32. K4's
+    #: blend math stays f32 always: it updates recurrent state, and its
+    #: whole stage is ~0.06 ms. Measured cost: FIDELITY_r3
+    #: residual_bf16 rows.
+    residual_dtype: str = "float32"
 
     # --- stage-bypass debug flags ---
     # The reference documents debugging by bisecting the 5-stage chain with
@@ -206,6 +215,8 @@ class BMFRConfig:
         if self.warp_mode not in ("float32", "packed_bf16",
                                   "packed_x_bf16", "pallas"):
             raise ValueError(f"bad warp_mode: {self.warp_mode}")
+        if self.residual_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"bad residual_dtype: {self.residual_dtype}")
         if self.features_not_scaled[:1] != ("const",):
             # The QR noise is never applied to column 0, which the reference
             # assumes to be the constant feature (opencl/bmfr.cl:606,625-627).

@@ -31,6 +31,10 @@ def default_config_matrix(base: BMFRConfig):
         "tmp_f16": base.replace(tmp_data_dtype="float16"),
         "warp_packed": base.replace(warp_mode="packed_x_bf16"),
         "warp_pallas": base.replace(warp_mode="pallas"),
+        "flagship": base.replace(warp_mode="pallas",
+                                 fitter_impl="pallas_direct",
+                                 residual_dtype="bfloat16"),
+        "residual_bf16": base.replace(residual_dtype="bfloat16"),
         "no_taa": base.replace(skip_taa=True),
         "first_order": base.replace(
             features_scaled=("world_position_x", "world_position_y",

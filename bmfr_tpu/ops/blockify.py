@@ -67,18 +67,30 @@ def jitter_offset(frame, block_edge=32):
     return table[jnp.mod(frame, table.shape[0])]
 
 
-def blockify_view(cfg, planes, frame):
+def blockify_view(cfg, planes, frame, width=None):
     """The jittered margins-grid view only — ``[C, H, W]`` planes ->
     ``[C, mh, mw]`` (mirror pad + per-frame jitter slice), without the
     block-layout transpose. The planes-direct fitter
     (:mod:`bmfr_tpu.ops.fitter_direct`) consumes blocks straight from
     this layout; profiling showed the transpose costing more than the
-    fit itself (docs/PERF_NOTES.md)."""
+    fit itself (docs/PERF_NOTES.md).
+
+    ``width``: optional target width > mw (e.g. the direct fitter's
+    whole-chunk lane padding). The extra columns are mirrored filler —
+    the fake blocks they form are fitted and discarded, exactly like
+    the fitter's own constant pad, but built in this single pad pass
+    instead of a second 0.1 ms/frame pad over the 36 MB view."""
     C, H, W = planes.shape
     be = cfg.block_edge
     half = be // 2
     mw, mh = cfg.workset_with_margins_width, cfg.workset_with_margins_height
+    tw = width or mw
     pad_lo, pad_hi_x, pad_hi_y = _pads(cfg)
+    if pad_hi_x + (tw - mw) + half > W:
+        # mirror can't reach that far on small images — return the base
+        # view and let the caller's constant pad cover the difference
+        tw = mw
+    pad_hi_x = pad_hi_x + (tw - mw)
     padded = jnp.pad(
         planes, ((0, 0), (pad_lo, pad_hi_y), (pad_lo, pad_hi_x)),
         mode="symmetric")
@@ -87,7 +99,7 @@ def blockify_view(cfg, planes, frame):
     start_y = pad_lo - half + off[1]
     return lax.dynamic_slice(
         padded, (jnp.int32(0), jnp.int32(start_y), jnp.int32(start_x)),
-        (C, mh, mw))
+        (C, mh, tw))
 
 
 def blockify_planes(cfg, planes, frame):

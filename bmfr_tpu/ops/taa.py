@@ -37,15 +37,23 @@ def taa(cfg, prev_pixels, new_frame, prev_result, frame, taps=None):
     iy = floor_int(pfy)
 
     # --- 3x3 YCoCg AABB via shifts (opencl/bmfr.cl:893-920) ---
+    # The neighborhood scan is the stage's bandwidth cost (9 shifted
+    # min/max passes over the frame); with residual_dtype="bfloat16" it
+    # runs at half the bytes, perturbing the clamp bounds by at most
+    # one bf16 ulp (~0.4% relative) — measured fidelity cost in the
+    # FIDELITY_r3 residual_bf16 rows.
+    rd = (jnp.bfloat16 if cfg.residual_dtype == "bfloat16" else
+          jnp.float32)
     ycc = rgb_to_ycocg(new_frame)
-    inf = jnp.float32(jnp.inf)
-    mn_box = jnp.full_like(ycc, inf)
-    mx_box = jnp.full_like(ycc, -inf)
-    mn_cross = jnp.full_like(ycc, inf)
-    mx_cross = jnp.full_like(ycc, -inf)
+    yccr = ycc.astype(rd)
+    inf = jnp.array(jnp.inf, rd)
+    mn_box = jnp.full_like(yccr, inf)
+    mx_box = jnp.full_like(yccr, -inf)
+    mn_cross = jnp.full_like(yccr, inf)
+    mx_cross = jnp.full_like(yccr, -inf)
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
-            view, ok = _shifted(ycc, dy, dx)
+            view, ok = _shifted(yccr, dy, dx)
             lo = jnp.where(ok[None], view, inf)
             hi = jnp.where(ok[None], view, -inf)
             mn_box = jnp.minimum(mn_box, lo)
@@ -53,6 +61,8 @@ def taa(cfg, prev_pixels, new_frame, prev_result, frame, taps=None):
             if dx == 0 or dy == 0:
                 mn_cross = jnp.minimum(mn_cross, lo)
                 mx_cross = jnp.maximum(mx_cross, hi)
+    mn_box, mx_box, mn_cross, mx_cross = (
+        x.astype(f32) for x in (mn_box, mx_box, mn_cross, mx_cross))
 
     # --- bilinear sample of previous result (opencl/bmfr.cl:922-960) ---
     if isinstance(taps, dict):

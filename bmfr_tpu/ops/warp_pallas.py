@@ -96,7 +96,12 @@ P_L = 256
 #: and overflow falls back to the exact full gather — so 2x headroom.
 FIXUP_K = 8192
 
-_BIG = jnp.int32(2**30)
+# A plain python int, NOT a jnp scalar: a module-level jax array that a
+# traced function closes over is exactly the kind of cross-trace constant
+# JAX's trace caches can corrupt (observed: after an eager interpret-mode
+# shard_map, a later scan trace picked this const up as a stale
+# ShardMapTracer/JitTracer — 'must override: ShardMapTracer').
+_BIG = 2**30
 
 
 def _ceil(a, m):
@@ -502,6 +507,18 @@ WH3 = 40
 #: [0, TC + KX_max + 1) = 277 are live; 3 lane groups hold them.
 W1 = 384
 
+#: Top padding of the fused kernel's source in rows (b >= -1 and
+#: loc <= TH-1 keep b + P_T3 - loc >= 0).
+P_T3 = 16
+
+
+def padded_src_shape(H, W):
+    """(Hp, Wp) of the fused kernel's padded ch-pair source layout.
+    A recurrent state carried in this layout (pipeline PackedState)
+    skips the per-frame 41 MB pad entirely."""
+    return (_ceil(P_T3 + H + WH3, 8),
+            _ceil(P_L + max(W, TC) + TW - 128, 128))
+
 
 class _BlendPlan(NamedTuple):
     """Static geometry + per-frame tensors for the fused blend kernel."""
@@ -524,6 +541,10 @@ def _plan_blend(src8, iy, ix, fx, fy, bits):
     window origins and depth classes, the claim map, per-pixel column
     selectors, coverage. Pure vector int math, no gathers.
 
+    ``src8`` is the ch-pair pack, either image-shaped ``[8, H, W]`` (the
+    plan pads it) or already in the padded kernel layout ``[8, Hp, Wp]``
+    (a PackedState carry — no per-frame pad runs).
+
     The x+1 taps resolve through a second claim map that is exactly the
     one-lane right shift of the first (``u2[q] = u[q-1]``): a pixel
     claiming its x-tap at window lane ``p`` claims its x+1 tap at
@@ -532,12 +553,10 @@ def _plan_blend(src8, iy, ix, fx, fy, bits):
     in-VMEM; only ``u`` is transported.
     """
     i32 = jnp.int32
-    _, H, W = src8.shape
+    H, W = iy.shape
     nty, ntx = -(-H // TH), -(-W // TC)
     NT = nty * ntx
-    P_T3 = 16    # b >= -1 and loc <= TH-1 keep b + P_T3 - loc >= 0
-    Hp = _ceil(P_T3 + H + WH3, 8)
-    Wp = _ceil(P_L + max(W, TC) + TW - 128, 128)
+    Hp, Wp = padded_src_shape(H, W)
 
     row = jnp.arange(H, dtype=i32)[:, None]
     col = jnp.arange(W, dtype=i32)[None, :]
@@ -576,23 +595,29 @@ def _plan_blend(src8, iy, ix, fx, fy, bits):
     t_max = jnp.max(jnp.where(in_win, t, -1).reshape(NT, -1), axis=1)
 
     # Row-selector scatter: u[loc, lx + t] = s of the claiming pixel.
+    # The 2*KX shift passes are bandwidth-bound; s and t are tiny ints
+    # (< 21, exact in bf16's 8-bit mantissa), so the whole build runs in
+    # bf16 at half the bytes and converts to i32 once at the end.
+    bf = jnp.bfloat16
     SW = TC + KX
-    sclaim = jnp.where(in_win, s, -1)
+    m1 = bf(-1)
+    sclaim = jnp.where(in_win, s.astype(bf), m1)
     spad = jnp.pad(sclaim, ((0, 0), (0, 0), (0, SW - TC)),
-                   constant_values=-1)
-    tpad = jnp.pad(jnp.where(in_win, t, -1),
-                   ((0, 0), (0, 0), (0, SW - TC)), constant_values=-1)
-    u = jnp.full((NT, TH, SW), -1, i32)
+                   constant_values=m1)
+    tpad = jnp.pad(jnp.where(in_win, t.astype(bf), m1),
+                   ((0, 0), (0, 0), (0, SW - TC)), constant_values=m1)
+    u = jnp.full((NT, TH, SW), m1, bf)
     for j in range(KX):
-        cj = jnp.where(tpad == j, spad, -1)
-        u = jnp.maximum(u, _shift_lanes(cj, j, i32(-1)))
+        cj = jnp.where(tpad == bf(j), spad, m1)
+        u = jnp.maximum(u, _shift_lanes(cj, j, m1))
 
     # Per-pixel claim consistency: the kernel serves position lx + t
     # with u there; a pixel whose s lost the claim goes to fix-up.
-    u_at = jnp.full((NT, TH, SW), -1, i32)
+    u_at = jnp.full((NT, TH, SW), m1, bf)
     for j in range(KX):
-        u_at = jnp.where(tpad == j, _unshift_lanes(u, j, i32(-1)), u_at)
-    served = in_win & (u_at[:, :, :TC] == s)
+        u_at = jnp.where(tpad == bf(j), _unshift_lanes(u, j, m1), u_at)
+    served = in_win & (u_at[:, :, :TC] == sclaim)
+    u = u.astype(i32)
 
     uncovered_t = vt & ~served
     uncovered = _untile(uncovered_t, nty, ntx, H, W)
@@ -620,8 +645,12 @@ def _plan_blend(src8, iy, ix, fx, fy, bits):
     sel_rest = jnp.concatenate(
         [t_sel, fx_t, fy_t, bits_t], axis=1).reshape(NT * 4 * TH, TC)
 
-    src_pad = jnp.pad(src8,
-                      ((0, 0), (P_T3, Hp - P_T3 - H), (P_L, Wp - P_L - W)))
+    if src8.shape[1:] == (H, W):
+        src_pad = jnp.pad(
+            src8, ((0, 0), (P_T3, Hp - P_T3 - H), (P_L, Wp - P_L - W)))
+    else:
+        assert src8.shape[1:] == (Hp, Wp), src8.shape
+        src_pad = src8
 
     return _BlendPlan(
         src_pad=src_pad, sel_u=sel_u, sel_rest=sel_rest, wo=wo,
@@ -733,19 +762,26 @@ def _blend_kernel3(cfg, nty, ntx,
             fyp = jax.lax.bitcast_convert_type(
                 selr2[slot, 2 * TH:3 * TH, :], jnp.float32)
             bits = selr2[slot, 3 * TH:4 * TH, :]
-            stage[...] = blend_from_taps(
-                cfg, _unpack_ch_pairs(o00), _unpack_ch_pairs(o10),
-                _unpack_ch_pairs(o01), _unpack_ch_pairs(o11),
-                cur2[slot], bits, fxp, fyp)
 
             ty = i // ntx
             tx = i % ntx
-            do = pltpu.make_async_copy(
-                stage,
-                out_hbm.at[:, pl.ds(ty * TH, TH), pl.ds(tx * TC, TC)],
-                sem_o)
-            do.start()
-            do.wait()
+            dst = out_hbm.at[:, pl.ds(ty * TH, TH), pl.ds(tx * TC, TC)]
+
+            # double-buffered output store: drain the store issued two
+            # tiles ago on this stage slot before overwriting it, then
+            # fire-and-forget — the serial start();wait() pattern put
+            # ~225 DMA latencies on the critical path
+            @pl.when(k >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    stage.at[slot], dst, sem_o.at[slot]).wait()
+
+            stage[slot] = blend_from_taps(
+                cfg, _unpack_ch_pairs(o00), _unpack_ch_pairs(o10),
+                _unpack_ch_pairs(o01), _unpack_ch_pairs(o11),
+                cur2[slot], bits, fxp, fyp)
+            pltpu.make_async_copy(
+                stage.at[slot], dst, sem_o.at[slot]).start()
             return 0
 
         return body
@@ -753,6 +789,13 @@ def _blend_kernel3(cfg, nty, ntx,
     for p, (ky, kx, whp) in enumerate(DEPTH_PHASES):
         jax.lax.fori_loop(bounds_ref[p], bounds_ref[p + 1],
                           make_body(ky, kx, whp), 0)
+
+    # drain the last (up to) two in-flight output stores
+    for s in range(min(NT, 2)):
+        pltpu.make_async_copy(
+            stage.at[s],
+            out_hbm.at[:, pl.ds(0, TH), pl.ds(0, TC)],
+            sem_o.at[s]).wait()
 
 
 def warp_blend_pallas(cfg, stacked, cur6, pfx, pfy, *, src8=None,
@@ -770,7 +813,10 @@ def warp_blend_pallas(cfg, stacked, cur6, pfx, pfy, *, src8=None,
     (``pack_pairs_bf16(stacked)``), e.g. a :class:`PackedState` carried
     across frames — then ``stacked`` may be ``None`` and no per-frame
     pack runs (pack(unpack(x)) is the identity on bf16 payloads, so tap
-    values are bit-identical either way).
+    values are bit-identical either way). It may be image-shaped
+    ``[8, H, W]`` or already in the padded kernel layout
+    (:func:`padded_src_shape`) — the padded carry also skips the
+    per-frame 41 MB pad.
 
     Three-tier exactness contract on the blended outputs: kernel for
     covered pixels, compact fix-up for window-miss/fold pixels, whole-
@@ -781,10 +827,7 @@ def warp_blend_pallas(cfg, stacked, cur6, pfx, pfy, *, src8=None,
     from .warp import gather_taps, pack_pairs_bf16
 
     i32 = jnp.int32
-    if src8 is None:
-        H, W = stacked.shape[1:]
-    else:
-        H, W = src8.shape[1:]
+    H, W = cur6.shape[1:]
     ix = floor_int(pfx)
     iy = floor_int(pfy)
     fx = pfx - ix.astype(jnp.float32)
@@ -810,12 +853,12 @@ def warp_blend_pallas(cfg, stacked, cur6, pfx, pfy, *, src8=None,
         pltpu.VMEM((2, TH, TW), jnp.int32),
         pltpu.VMEM((2, 4 * TH, TC), jnp.int32),
         pltpu.VMEM((2, 6, TH, TC), jnp.float32),
-        pltpu.VMEM((BLEND_PLANES, TH, TC), jnp.float32),
+        pltpu.VMEM((2, BLEND_PLANES, TH, TC), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
-        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA((2,)),
     ]
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     out_shape = jax.ShapeDtypeStruct((BLEND_PLANES, Hk, Wk), jnp.float32)
@@ -849,8 +892,9 @@ def warp_blend_pallas(cfg, stacked, cur6, pfx, pfy, *, src8=None,
         # index sets, exact bf16-identical blend, sorted scatter over
         # the kernel output.
         def fixup(_):
-            with jax.named_scope("warp_fixup"):
+            with jax.named_scope("warp_fixup_compact"):
                 idx, _ = compact_indices(plan.uncovered.ravel(), k)
+            with jax.named_scope("warp_fixup"):
                 aux = jnp.concatenate([
                     iy.reshape(1, -1), ix.reshape(1, -1),
                     bits.reshape(1, -1), bc_i32(fx).reshape(1, -1),
@@ -860,18 +904,22 @@ def warp_blend_pallas(cfg, stacked, cur6, pfx, pfy, *, src8=None,
                 iyk, ixk, bitsk = a[0], a[1], a[2]
                 fxk, fyk = bc_f32(a[3]), bc_f32(a[4])
                 cur6k = bc_f32(a[5:11])
-                iy0 = jnp.clip(iyk, 0, H - 1)
-                iy1 = jnp.clip(iyk + 1, 0, H - 1)
-                ix0 = jnp.clip(ixk, 0, W - 1)
-                ix1 = jnp.clip(ixk + 1, 0, W - 1)
-                flat = jnp.concatenate([iy0 * W + ix0, iy0 * W + ix1,
-                                        iy1 * W + ix0, iy1 * W + ix1])
-                words = src8.reshape(8, H * W)[:, flat]   # [8, 4k]
+                # taps come from the padded source (so the unpadded
+                # pack has no consumers and its pad fuses away)
+                Hp, Wp = plan.src_pad.shape[1:]
+                iy0 = jnp.clip(iyk, 0, H - 1) + P_T3
+                iy1 = jnp.clip(iyk + 1, 0, H - 1) + P_T3
+                ix0 = jnp.clip(ixk, 0, W - 1) + P_L
+                ix1 = jnp.clip(ixk + 1, 0, W - 1) + P_L
+                flat = jnp.concatenate([iy0 * Wp + ix0, iy0 * Wp + ix1,
+                                        iy1 * Wp + ix0, iy1 * Wp + ix1])
+                words = plan.src_pad.reshape(8, Hp * Wp)[:, flat]
                 tv = [_unpack_ch_pairs(words[:, i * k:(i + 1) * k])
                       for i in range(4)]
                 fix = blend_from_taps(
                     cfg, tv[0], tv[1], tv[2], tv[3], cur6k,
                     bitsk, fxk, fyk)
+            with jax.named_scope("warp_fixup_scatter"):
                 return (blended.reshape(BLEND_PLANES, H * W)
                         .at[:, idx].set(fix, indices_are_sorted=True)
                         .reshape(BLEND_PLANES, H, W))
@@ -883,7 +931,7 @@ def warp_blend_pallas(cfg, stacked, cur6, pfx, pfy, *, src8=None,
             # pack; the x-pair re-pack inside gather_taps re-rounds
             # bf16(bf16(x)) = bf16(x), so taps stay bit-identical
             stk = stacked if stacked is not None else _unpack_ch_pairs(
-                src8)
+                plan.src_pad[:, P_T3:P_T3 + H, P_L:P_L + W])
             taps = gather_taps(stk, iy, ix, mode="packed_x_bf16")
             return blend_from_taps(cfg, taps[0], taps[1], taps[2],
                                    taps[3], cur6, bits, fx, fy)
@@ -891,13 +939,15 @@ def warp_blend_pallas(cfg, stacked, cur6, pfx, pfy, *, src8=None,
     # Steady frames carry ~3.4-3.9k uncovered pixels (fold conflicts +
     # window misses); search/gather/scatter all scale with capacity, so
     # a half-size tier serves them and the full tier keeps headroom
-    # before the whole-frame fallback engages.
+    # before the whole-frame fallback engages. One flat lax.switch (not
+    # nested conds): every cond level copies its 48 MB plane operands.
     small_k = fixup_k // 2
     in_kernel = plan.n_uncovered <= fixup_k
-    planes = jax.lax.cond(
-        plan.n_uncovered <= small_k, make_fixup(small_k),
-        lambda arg: jax.lax.cond(in_kernel, make_fixup(fixup_k),
-                                 full_fallback, arg), None)
+    tier = ((plan.n_uncovered > small_k).astype(i32)
+            + (plan.n_uncovered > fixup_k).astype(i32))
+    planes = jax.lax.switch(
+        tier, [make_fixup(small_k), make_fixup(fixup_k), full_fallback],
+        None)
     served = jnp.where(in_kernel, i32(H * W) - plan.n_uncovered, i32(0))
     stats = jnp.concatenate([
         plan.n_uncovered[None], (~in_kernel).astype(i32)[None],

@@ -61,6 +61,14 @@ def denoise_scenes_sharded(cfg, mesh, inputs: FrameInputs, camera_matrices,
     # annotation; correctness of the sharded result is asserted
     # numerically against the unsharded computation in
     # __graft_entry__.dryrun_multichip and tests/test_sharding.py.
+    # Eager shard_map (jit-of-shard_map trips an Auto/Manual mesh
+    # mismatch inside the interpret-mode pallas_call on CPU meshes).
+    # CAVEAT: eager shard_map of the interpret path can leak a
+    # ShardMapTracer into a JAX-internal trace cache and poison a LATER
+    # trace in the same process (observed, rarely, as 'must override:
+    # ShardMapTracer' from an unrelated lax.scan) — order compile work
+    # before sharded runs where determinism matters
+    # (__graft_entry__.dryrun_multichip does).
     fn = jax.shard_map(
         per_shard, mesh=mesh, in_specs=spec_in, out_specs=P(axis_name),
         check_vma=False)

@@ -43,7 +43,9 @@ class PackedState(NamedTuple):
     """The recurrent state carried as the fused warp's ch-pair bf16
     pack: all 16 recurrent channels (positions 3, normals 3, noisy 3,
     spp 1, out 3, result 3 — :func:`bmfr_tpu.ops.warp.pack_pairs_bf16`
-    order) in one i32 ``[8, H, W]`` word array.
+    order) in one i32 word array, stored directly in the warp kernel's
+    padded window layout ``[8, Hp, Wp]``
+    (:func:`bmfr_tpu.ops.warp_pallas.padded_src_shape`).
 
     Valid only with ``warp_mode="pallas"``: every consumer of the
     previous frame's buffers reads them through bf16-rounded taps
@@ -51,10 +53,12 @@ class PackedState(NamedTuple):
     instead of at tap-read produces bit-identical taps while halving
     the scan-carry footprint and deleting the per-frame 16-plane
     concat+pack (the reference's double-buffer swap — opencl/
-    bmfr.cpp:482-484 — moves no bytes either).
+    bmfr.cpp:482-484 — moves no bytes either). Storing the pack
+    pre-padded additionally deletes the warp's per-frame 41 MB pad —
+    the pad fuses into the state-store, which writes the bytes anyway.
     """
 
-    src8: jnp.ndarray       # i32[8, H, W]
+    src8: jnp.ndarray       # i32[8, Hp, Wp]
 
 
 def denoise_frame(cfg, state, inputs: FrameInputs,
@@ -118,7 +122,10 @@ def denoise_frame(cfg, state, inputs: FrameInputs,
             # derived from state so both history branches carry the
             # same device-variance under shard_map
             if packed:
-                return (state.src8[0] * 0).astype(jnp.float32)
+                from ..ops.warp_pallas import P_L, P_T3
+
+                return (state.src8[0, P_T3:P_T3 + H, P_L:P_L + W]
+                        * 0).astype(jnp.float32)
             return state.result[0] * 0.0
 
         # At frame 0 every consumer masks its taps out (no history), and
@@ -180,15 +187,18 @@ def denoise_frame(cfg, state, inputs: FrameInputs,
         filtered = k1["accum"]
     elif direct:
         from ..ops.blockify import blockify_view, jitter_offset
-        from ..ops.fitter_direct import fit_reconstruct_direct
+        from ..ops.fitter_direct import (_pads_for_direct,
+                                         fit_reconstruct_direct)
 
         with jax.named_scope("k2_blockify"):
             # raw planes only — feature build + the K1 store contract +
-            # scale + noise all run inside the fused direct kernel
+            # scale + noise all run inside the fused direct kernel;
+            # the view is built at the fitter's whole-chunk width so no
+            # second pad pass runs (mirrored filler blocks, discarded)
             view9 = blockify_view(
                 cfg, jnp.concatenate(
                     [inputs.normals, inputs.positions, k1["accum"]],
-                    axis=0), frame)
+                    axis=0), frame, width=_pads_for_direct(cfg)[1])
         with jax.named_scope("k2_fitter"):
             # K2+K3 fused: fit + back-substitute + reconstruct in VMEM
             fview = fit_reconstruct_direct(cfg, view9, frame)
@@ -225,13 +235,20 @@ def denoise_frame(cfg, state, inputs: FrameInputs,
 
     if packed:
         from ..ops.warp import pack_pairs_bf16
+        from ..ops.warp_pallas import P_L, P_T3
 
         with jax.named_scope("state_pack"):
-            new_state = PackedState(src8=pack_pairs_bf16(
-                jnp.concatenate(
-                    [inputs.positions, inputs.normals, k1["accum"],
-                     k1["spp"].astype(jnp.float32)[None], out, result],
-                    axis=0)))
+            # stored directly in the warp kernel's padded layout, as an
+            # in-place interior update of the (donated) carry buffer:
+            # the border zeros are frame-invariant, so only the 29.5 MB
+            # interior is written — no pad pass, no 41 MB zero fill
+            # (measured: a fresh jnp.pad here costs 0.06 ms/frame)
+            pack = pack_pairs_bf16(jnp.concatenate(
+                [inputs.positions, inputs.normals, k1["accum"],
+                 k1["spp"].astype(jnp.float32)[None], out, result],
+                axis=0))
+            new_state = PackedState(src8=jax.lax.dynamic_update_slice(
+                state.src8, pack, (0, P_T3, P_L)))
     else:
         new_state = TemporalState(
             normals=inputs.normals,
@@ -289,12 +306,16 @@ def denoise_sequence(cfg, inputs: FrameInputs, camera_matrices,
         # Derive from the inputs (not fresh constants) so device-varying
         # axes propagate correctly under shard_map (see parallel/sharding).
         if cfg.warp_mode == "pallas":
+            from ..ops.warp_pallas import padded_src_shape
+
             # fused mode carries the state as the warp's bf16 ch-pair
-            # pack: half the carry bytes, no per-frame concat+pack, and
-            # bit-identical taps (see PackedState)
+            # pack in the kernel's padded layout: half the carry bytes,
+            # no per-frame concat+pack or pad, bit-identical taps
+            # (see PackedState)
+            H, W = inputs.noisy.shape[-2:]
             state = PackedState(src8=(
-                (inputs.noisy[0, 0] * 0).astype(jnp.int32)[None]
-                + jnp.zeros((8,) + inputs.noisy.shape[-2:], jnp.int32)))
+                (inputs.noisy[0, 0, 0, 0] * 0).astype(jnp.int32)
+                + jnp.zeros((8,) + padded_src_shape(H, W), jnp.int32)))
         else:
             z3 = jnp.zeros_like(inputs.noisy[0])
             state = TemporalState(

@@ -28,9 +28,12 @@ STAGE_SCOPES = (
     "warp_pack",
     "warp_plan",
     "warp_kernel",
+    "warp_fixup_compact",
+    "warp_fixup_scatter",
     "warp_fixup",
     "warp_fallback",
     "warp_taps",
+    "state_pack",
     "k1_accumulate_noisy",
     "k2_blockify",
     "k2_fitter",

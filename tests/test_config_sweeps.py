@@ -142,3 +142,42 @@ def test_block_size_16_pipeline_runs():
         cfg, state, inputs, jnp.asarray(sc["camera_matrices"][0]),
         jnp.asarray(sc["pixel_offsets"][0]), jnp.int32(0))
     assert np.isfinite(np.asarray(outs["result"])).all()
+
+
+def test_residual_bf16_taa_close_to_f32():
+    """residual_dtype="bfloat16" runs the TAA AABB scan in bf16: the
+    clamp bounds move by <= 1 bf16 ulp, so the sequence output must stay
+    within a small bound of the f32 run (and differ only where the clamp
+    engages)."""
+    import jax
+    from bmfr_tpu import FrameInputs
+    from bmfr_tpu.pipeline.denoise import denoise_sequence
+    from bmfr_tpu.io.fixtures import synthetic_sequence
+
+    sc = synthetic_sequence(width=64, height=48, frames=4)
+    to_tchw = lambda a: jnp.asarray(
+        np.moveaxis(a, -1, 1).astype(np.float32))
+    inputs = FrameInputs(
+        to_tchw(sc["normals"]), to_tchw(sc["positions"]),
+        to_tchw(sc["noisy"]), to_tchw(sc["albedo"]))
+    cams = jnp.asarray(sc["camera_matrices"])
+    offs = jnp.asarray(sc["pixel_offsets"])
+
+    outs = {}
+    for rd in ("float32", "bfloat16"):
+        cfg = _cfg(residual_dtype=rd)
+        outs[rd] = np.asarray(jax.jit(
+            lambda i, c, o: denoise_sequence(cfg, i, c, o))(
+                inputs, cams, offs))
+    diff = np.abs(outs["float32"] - outs["bfloat16"])
+    # bound: one bf16 ulp of the clamp bound, propagated through the
+    # (1 - alpha) history weight — comfortably < 1e-2 in [0, 1] output
+    assert np.isfinite(outs["bfloat16"]).all()
+    assert float(diff.max()) < 1e-2, float(diff.max())
+    # frame 0 is passthrough in TAA: bit-identical
+    np.testing.assert_array_equal(outs["float32"][0], outs["bfloat16"][0])
+
+
+def test_residual_dtype_validation():
+    with pytest.raises(ValueError):
+        _cfg(residual_dtype="float64")
