@@ -204,14 +204,11 @@ class BMFRConfig:
         if self.fitter_impl == "pallas_direct":
             # the planes-direct path (ops/fitter_direct.py) fits blocks
             # straight from the image-layout view; its kernel geometry
-            # and the QR it implements need these
+            # needs this (both the householder and the cholesky solver
+            # have direct kernels — _qr_kernel / _chol_kernel)
             if self.block_edge != 32:
                 raise ValueError(
                     "fitter_impl='pallas_direct' requires block_edge=32")
-            if self.solver != "householder":
-                raise ValueError(
-                    "fitter_impl='pallas_direct' implements only the "
-                    "householder solver")
         if self.warp_mode not in ("float32", "packed_bf16",
                                   "packed_x_bf16", "pallas"):
             raise ValueError(f"bad warp_mode: {self.warp_mode}")

@@ -98,6 +98,55 @@ def _seg_bcast_from(x, r, be):
     return x
 
 
+def _build_block_data(cfg, raw, noise_vmem, want_basis, r_iota_unused=None):
+    """The shared front half of every direct kernel: K1 feature build +
+    store contract + per-block scale + regularization noise on one
+    ``[9, be, LANES]`` chunk. Returns ``(data, basis, rmin, rmax)``
+    (``basis`` is None unless ``want_basis``)."""
+    F = cfg.feature_count
+    B = cfg.buffer_count
+    be = cfg.block_edge
+    lo = cfg.features_not_scaled_count
+
+    n3 = raw[0:3]
+    p3 = raw[3:6]
+    accum = raw[6:9]
+
+    # K1 feature build + store contract (bmfr.cl:447-476)
+    rows = [FEATURE_REGISTRY[name](n3, p3)
+            for name in cfg.all_features]
+    data = jnp.concatenate(
+        [jnp.stack(rows, axis=0), accum], axis=0)       # [B, be, LANES]
+    data = jnp.where(jnp.isnan(data), 0.0, data)
+    if cfg.tmp_data_dtype == "float16":
+        data = jnp.clip(data, -65504.0, 65504.0)
+    data = _quantize(cfg, data)
+
+    # per-block min/max + rescale (bmfr.cl:511-542); after _seg_reduce
+    # every lane of a block segment holds its block's min/max, so the
+    # rescale is pure elementwise
+    sub = data[lo:F]                                    # [n_sc, be, LANES]
+    rmin = _seg_reduce(jnp.min(sub, axis=1), jnp.minimum, be)
+    rmax = _seg_reduce(jnp.max(sub, axis=1), jnp.maximum, be)
+    denom = jnp.where(jnp.abs(rmax - rmin) > 1.0, rmax - rmin, 1.0)
+    scaled = (sub - rmin[:, None, :]) / denom[:, None, :]
+    basis = None
+    if want_basis:
+        # K3's reconstruction basis: the reference's weighted_sum
+        # re-reads the K1-stored features and rescales in registers
+        # (opencl/bmfr.cl:724-747) — stored-precision features, f32
+        # rescale, no re-store rounding, no noise
+        basis = jnp.concatenate([data[:lo], scaled], axis=0)
+    data = jnp.concatenate([data[:lo], scaled, data[F:]], axis=0)
+    data = _quantize(cfg, data)
+
+    # regularization noise (bmfr.cl:625-627; lane-tiled, row 0 zero)
+    data = data + jnp.concatenate(
+        [noise_vmem[...],
+         jnp.zeros((B - F, be, LANES), jnp.float32)], axis=0)
+    return data, basis, rmin, rmax
+
+
 def _qr_kernel(cfg, n_chunks, ncx, reconstruct, src_hbm, noise_vmem,
                *refs):
     if reconstruct:
@@ -139,46 +188,13 @@ def _qr_kernel(cfg, n_chunks, ncx, reconstruct, src_hbm, noise_vmem,
 
         dma_in(i, slot).wait()
         raw = x2[slot]                                  # [9, be, LANES]
-        n3 = raw[0:3]
-        p3 = raw[3:6]
-        accum = raw[6:9]
-
-        # K1 feature build + store contract (bmfr.cl:447-476)
-        rows = [FEATURE_REGISTRY[name](n3, p3)
-                for name in cfg.all_features]
-        data = jnp.concatenate(
-            [jnp.stack(rows, axis=0), accum], axis=0)   # [B, be, LANES]
-        data = jnp.where(jnp.isnan(data), 0.0, data)
-        if cfg.tmp_data_dtype == "float16":
-            data = jnp.clip(data, -65504.0, 65504.0)
-        data = _quantize(cfg, data)
-
-        # per-block min/max + rescale (bmfr.cl:511-542); after
-        # _seg_reduce every lane of a block segment holds its block's
-        # min/max, so the rescale is pure elementwise
-        sub = data[lo:F]                                # [n_sc, be, LANES]
-        rmin = _seg_reduce(jnp.min(sub, axis=1), jnp.minimum, be)
-        rmax = _seg_reduce(jnp.max(sub, axis=1), jnp.maximum, be)
-        denom = jnp.where(jnp.abs(rmax - rmin) > 1.0, rmax - rmin, 1.0)
-        scaled = (sub - rmin[:, None, :]) / denom[:, None, :]
-        if reconstruct:
-            # K3's reconstruction basis: the reference's weighted_sum
-            # re-reads the K1-stored features and rescales in registers
-            # (opencl/bmfr.cl:724-747) — stored-precision features,
-            # f32 rescale, no re-store rounding, no noise
-            basis = jnp.concatenate([data[:lo], scaled], axis=0)
-        data = jnp.concatenate([data[:lo], scaled, data[F:]], axis=0)
-        data = _quantize(cfg, data)
+        data, basis, rmin, rmax = _build_block_data(
+            cfg, raw, noise_vmem, want_basis=reconstruct)
         if not reconstruct:
             mmstage[...] = jnp.concatenate(
                 [rmin, rmax,
                  jnp.zeros((_EXPORT_ROWS - 2 * n_sc, LANES),
                            jnp.float32)], axis=0)
-
-        # regularization noise (bmfr.cl:625-627; lane-tiled, row 0 zero)
-        data = data + jnp.concatenate(
-            [noise_vmem[...],
-             jnp.zeros((B - F, be, LANES), jnp.float32)], axis=0)
 
         # Householder QR (bmfr.cl:549-656)
         for col in range(F):
@@ -374,6 +390,160 @@ def fit_reconstruct_direct(cfg, view9, frame, interpret=None):
         interpret = jax.default_backend() != "tpu"
 
     kernel = functools.partial(_qr_kernel, cfg, n_chunks, ncx, True)
+    recon = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((3, nby * be, mw_pad),
+                                       jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, 9, be, LANES), jnp.float32),
+            pltpu.VMEM((3, be, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(view9, noise_lanes)
+    return recon[:, :mh, :mw]
+
+
+def _chol_kernel(cfg, n_chunks, ncx, src_hbm, noise_vmem,
+                 recon_hbm, x2, fstage, sem_i, sem_f):
+    """Fused K2+K3 with the normal-equations solver: Gram + rhs via
+    indicator matmuls (MXU), a lane-parallel 13x13 Cholesky on [CHUNK]-
+    wide per-block scalars, and the in-VMEM reconstruction — the
+    ``solver="cholesky"`` semantics of :func:`bmfr_tpu.ops.fitter.
+    cholesky_weights` (mathematically the same least-squares solution
+    as the QR path, opencl/bmfr.cl:549-699) at ~10x less VPU work than
+    the 13-reflection Householder loop."""
+    F = cfg.feature_count
+    B = cfg.buffer_count
+    be = cfg.block_edge
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (LANES, CHUNK), 0)
+    bcol = jax.lax.broadcasted_iota(jnp.int32, (LANES, CHUNK), 1)
+    G = (lane // be == bcol).astype(jnp.float32)        # [LANES, CHUNK]
+    GT = G.T                                            # [CHUNK, LANES]
+
+    def dma_in(i, slot):
+        by = i // ncx
+        cx = i % ncx
+        return pltpu.make_async_copy(
+            src_hbm.at[:, pl.ds(by * be, be), pl.ds(cx * LANES, LANES)],
+            x2.at[slot], sem_i.at[slot])
+
+    dma_in(0, 0).start()
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < n_chunks)
+        def _():
+            dma_in(i + 1, 1 - slot).start()
+
+        dma_in(i, slot).wait()
+        raw = x2[slot]                                  # [9, be, LANES]
+        data, basis, _rmin, _rmax = _build_block_data(
+            cfg, raw, noise_vmem, want_basis=True)
+
+        # Per-block Gram rows + rhs: row f of [A; b]^T [A; b] restricted
+        # to the needed triangle — prod over the remaining channels,
+        # block-reduced by the indicator matmul. [B, CHUNK] per row.
+        rows = []                                       # [F][B-f, CHUNK]
+        for f in range(F):
+            rest = data[f:]                             # [B-f, be, LANES]
+            nf = B - f
+            prod = (rest * data[f][None]).reshape(nf * be, LANES)
+            s = jnp.dot(prod, G, preferred_element_type=jnp.float32)
+            rows.append(s.reshape(nf, be, CHUNK).sum(axis=1))
+
+        def at(f1, f2):
+            # Gram/rhs entry (f1 <= f2): row f1, offset f2 - f1
+            return rows[f1][f2 - f1]                    # [CHUNK]
+
+        # Lane-parallel Cholesky G = L L^T over the CHUNK per-block
+        # scalars (cholesky_weights semantics; NaN blocks -> 0 below).
+        L = [[None] * F for _ in range(F)]
+        for j in range(F):
+            d = at(j, j)
+            for k in range(j):
+                d = d - L[j][k] * L[j][k]
+            L[j][j] = jnp.sqrt(d)
+            for i2 in range(j + 1, F):
+                v = at(j, i2)
+                for k in range(j):
+                    v = v - L[i2][k] * L[j][k]
+                L[i2][j] = v / L[j][j]
+
+        # Solve L y = c, L^T w = y for the 3 color channels.
+        w = []                                          # [F][3, CHUNK]
+        for ch in range(3):
+            y = [None] * F
+            for i2 in range(F):
+                v = at(i2, F + ch)
+                for k in range(i2):
+                    v = v - L[i2][k] * y[k]
+                y[i2] = v / L[i2][i2]
+            x = [None] * F
+            for i2 in reversed(range(F)):
+                v = y[i2]
+                for k in range(i2 + 1, F):
+                    v = v - L[k][i2] * x[k]
+                x[i2] = v / L[i2][i2]
+            w.append(x)
+        # w[ch][f]: [CHUNK]; singular blocks (NaN) -> zero weights
+        wl = []                                         # [F][3, LANES]
+        for f in range(F):
+            wf = jnp.stack([w[0][f], w[1][f], w[2][f]], axis=0)
+            wf = jnp.where(jnp.isnan(wf), 0.0, wf)
+            wl.append(jnp.dot(wf, GT,
+                              preferred_element_type=jnp.float32))
+
+        color = jnp.zeros((3, be, LANES), jnp.float32)
+        for f in range(F):
+            color = color + basis[f][None] * wl[f][:, None, :]
+        fstage[...] = jnp.maximum(color, 0.0)
+        df = pltpu.make_async_copy(fstage, recon_hbm.at[
+            :, pl.ds((i // ncx) * be, be),
+            pl.ds((i % ncx) * LANES, LANES)], sem_f)
+        df.start()
+        df.wait()
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+
+def fit_reconstruct_cholesky(cfg, view9, frame, interpret=None):
+    """Fully fused K2+K3 with ``solver="cholesky"`` semantics (see
+    :func:`_chol_kernel`). Same layout contract as
+    :func:`fit_reconstruct_direct`."""
+    assert cfg.block_edge == 32, "direct fitter requires 32x32 blocks"
+    B = cfg.buffer_count
+    F = cfg.feature_count
+    be = cfg.block_edge
+    nby = cfg.blocks_y
+    nbx_pad, mw_pad = _pads_for_direct(cfg)
+    mh, mw = view9.shape[1], view9.shape[2]
+
+    if view9.shape[2] != mw_pad:
+        view9 = jnp.pad(
+            view9, ((0, 0), (0, 0), (0, mw_pad - view9.shape[2])),
+            constant_values=1.0)
+
+    noise = feature_noise(frame, F, cfg.block_pixels, B,
+                          cfg.noise_amount)              # [F, bp]
+    noise_lanes = jnp.tile(noise.reshape(F, be, be), (1, 1, CHUNK))
+
+    ncx = mw_pad // LANES
+    n_chunks = nby * ncx
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    kernel = functools.partial(_chol_kernel, cfg, n_chunks, ncx)
     recon = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((3, nby * be, mw_pad),

@@ -180,15 +180,18 @@ def denoise_frame(cfg, state, inputs: FrameInputs,
             cfg, inputs.normals, inputs.positions, inputs.noisy,
             *prev3, prev_cam, pixel_offset, frame, taps=taps_k1)
 
-    direct = (cfg.fitter_impl == "pallas_direct"
-              and cfg.block_edge == 32 and cfg.solver == "householder")
+    direct = cfg.fitter_impl == "pallas_direct" and cfg.block_edge == 32
     weights = mins_maxs = None   # not materialized on the fused path
     if direct and cfg.skip_fitting:
         filtered = k1["accum"]
     elif direct:
         from ..ops.blockify import blockify_view, jitter_offset
         from ..ops.fitter_direct import (_pads_for_direct,
+                                         fit_reconstruct_cholesky,
                                          fit_reconstruct_direct)
+        fit_reconstruct = (fit_reconstruct_cholesky
+                           if cfg.solver == "cholesky"
+                           else fit_reconstruct_direct)
 
         with jax.named_scope("k2_blockify"):
             # raw planes only — feature build + the K1 store contract +
@@ -201,7 +204,7 @@ def denoise_frame(cfg, state, inputs: FrameInputs,
                     axis=0), frame, width=_pads_for_direct(cfg)[1])
         with jax.named_scope("k2_fitter"):
             # K2+K3 fused: fit + back-substitute + reconstruct in VMEM
-            fview = fit_reconstruct_direct(cfg, view9, frame)
+            fview = fit_reconstruct(cfg, view9, frame)
         with jax.named_scope("k3_weighted_sum"):
             # inverse jitter: image pixel (y, x) = view[y + half - off1,
             # x + half - off0] (unblockify mapping, bmfr.cl:718-722)

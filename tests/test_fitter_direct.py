@@ -82,9 +82,9 @@ def test_config_rejects_unsupported_direct(tiny_cfg):
     with pytest.raises(ValueError):
         tiny_cfg.replace(fitter_impl="pallas_direct",
                          block_edge=16).validate()
-    with pytest.raises(ValueError):
-        tiny_cfg.replace(fitter_impl="pallas_direct",
-                         solver="cholesky").validate()
+    # cholesky + pallas_direct is a supported combination (_chol_kernel)
+    tiny_cfg.replace(fitter_impl="pallas_direct",
+                     solver="cholesky").validate()
 
 
 def test_fused_reconstruct_matches_weighted_sum_image(tiny_cfg,
@@ -111,3 +111,55 @@ def test_fused_reconstruct_matches_weighted_sum_image(tiny_cfg,
             (3, H, W))
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_fused_cholesky_matches_xla_cholesky(tiny_cfg, frame_planes):
+    """The fused cholesky kernel (Gram via indicator matmuls, lane-
+    parallel 13x13 Cholesky, in-VMEM reconstruction) must match the
+    XLA solver="cholesky" path end to end (fit_blocks + 
+    weighted_sum_image)."""
+    from bmfr_tpu.ops.fitter_direct import fit_reconstruct_cholesky
+    from bmfr_tpu.ops.blockify import jitter_offset
+    from bmfr_tpu.ops.weighted_sum import weighted_sum_image
+
+    cfg = tiny_cfg.replace(solver="cholesky").validate()
+    normals, positions, accum = frame_planes
+    H, W = cfg.image_height, cfg.image_width
+    for frame in (0, 5):
+        f = jnp.int32(frame)
+        tmp = build_feature_blocks(cfg, normals, positions, accum, f)
+        w_x, mm_x = fit_blocks(cfg, tmp, f, impl="xla")
+        want = weighted_sum_image(
+            cfg, w_x, mm_x, normals, positions, accum, f)
+        view = raw_view(cfg, normals, positions, accum, f)
+        fview = fit_reconstruct_cholesky(cfg, view, f)
+        half = cfg.block_edge // 2
+        off = jitter_offset(f, cfg.block_edge)
+        got = jax.lax.dynamic_slice(
+            fview, (jnp.int32(0), half - off[1], half - off[0]),
+            (3, H, W))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=5e-3, atol=5e-3)
+
+
+def test_pipeline_direct_cholesky_runs(tiny_cfg, tiny_scene):
+    """Full frame with fitter_impl=pallas_direct + solver=cholesky."""
+    from bmfr_tpu import FrameInputs, TemporalState
+    from bmfr_tpu.pipeline.denoise import denoise_frame
+
+    cfg = tiny_cfg.replace(fitter_impl="pallas_direct",
+                           solver="cholesky").validate()
+    state = TemporalState.initial(cfg)
+    for t in range(2):
+        inputs = FrameInputs(
+            jnp.asarray(to_chw(tiny_scene["normals"][t])),
+            jnp.asarray(to_chw(tiny_scene["positions"][t])),
+            jnp.asarray(to_chw(tiny_scene["noisy"][t])),
+            jnp.asarray(to_chw(tiny_scene["albedo"][t])))
+        state, outs = denoise_frame(
+            cfg, state, inputs,
+            jnp.asarray(tiny_scene["camera_matrices"][max(t - 1, 0)]),
+            jnp.asarray(tiny_scene["pixel_offsets"][t]), jnp.int32(t))
+    res = np.asarray(outs["result"])
+    assert np.isfinite(res).all()
+    assert res.min() >= 0.0 and res.max() <= 1.0
