@@ -49,6 +49,11 @@ def main():
         # noise in-kernel) removes blockify's 52 MB transpose entirely:
         # 7.06 vs 8.30 ms/frame at 60 frames (docs/PERF_NOTES.md).
         fitter_impl=os.environ.get("BENCH_FITTER", "pallas_direct"),
+        # the fused cholesky kernel (same least-squares solution, ~10x
+        # less VPU work than the Householder loop) is measured as the
+        # alternative solver; the headline stays reference-exact QR
+        solver=os.environ.get("BENCH_SOLVER", "householder"),
+        residual_dtype=os.environ.get("BENCH_RESIDUAL", "float32"),
     ).validate()
 
     print(f"[bench] generating {frames}-frame {width}x{height} synthetic "

@@ -369,3 +369,52 @@ def test_fullres_orbit_kernel_tier_engagement():
     # 60-frame scan the kernel tier then serves 58/59 * 99.6% = 97.7%
     # of all warped pixels (printed by bench.py as warp_kernel_served_pct)
     assert fallbacks <= 1, fallbacks
+
+
+def test_blend_big_fixup_tier_exact(tiny_cfg):
+    """A claim-degenerate region lands in the 4x fix-up tier (between
+    fixup_k and 4*fixup_k uncovered) — it must take a fix-up tier, not
+    the whole-frame fallback, and stay exact."""
+    from bmfr_tpu.ops.warp import pack_x_pairs_bf16
+    from bmfr_tpu.ops.warp_pallas import (blend_from_rows, _mask_bits,
+                                          warp_blend_pallas)
+    from bmfr_tpu.ops.gather import floor_int, gather_planes
+
+    rng = np.random.default_rng(33)
+    Ht, Wt = 48, 160
+    cfg = tiny_cfg.replace(image_height=Ht, image_width=Wt).validate()
+    stacked = jnp.asarray(
+        rng.standard_normal((16, Ht, Wt)).astype(np.float32))
+    cur6 = jnp.asarray(rng.standard_normal((6, Ht, Wt)).astype(np.float32))
+    yy = np.arange(Ht)[:, None] + np.zeros((1, Wt))
+    xx = np.arange(Wt)[None, :] + np.zeros((Ht, 1))
+    pfy = (yy + 1.2).astype(np.float32)
+    pfx = (xx - 0.7).astype(np.float32)
+    # a 2x-minified band: every other source column claimed twice with
+    # different rows -> genuine folds the kernel cannot serve
+    band = slice(8, 28)
+    pfy[band] = (yy[band] * 2.0 - 10.0)
+    pfx[band] = (xx[band] * 2.0 - 40.0)
+    pfx = jnp.asarray(pfx)
+    pfy = jnp.asarray(pfy)
+
+    k = 512
+    got, stats = jax.jit(
+        lambda *a: warp_blend_pallas(cfg, *a, fixup_k=k))(
+            stacked, cur6, pfx, pfy)
+    n_unc = int(stats[0])
+    assert k < n_unc <= 4 * k, n_unc     # exercises the big tier
+    assert int(stats[1]) == 0            # NOT the whole-frame fallback
+
+    src = pack_x_pairs_bf16(stacked)
+    iy = floor_int(pfy)
+    ix = floor_int(pfx)
+    fx = pfx - ix.astype(jnp.float32)
+    fy = pfy - iy.astype(jnp.float32)
+    want = blend_from_rows(
+        cfg, gather_planes(src, iy, ix), gather_planes(src, iy + 1, ix),
+        cur6, _mask_bits(iy, ix, Ht, Wt), fx, fy)
+    on = np.asarray((ix >= -1) & (iy >= -1) & (ix < Wt) & (iy < Ht))[None]
+    np.testing.assert_allclose(
+        np.where(on, np.asarray(got), 0), np.where(on, np.asarray(want), 0),
+        rtol=1e-6, atol=1e-6)
