@@ -28,6 +28,10 @@ def _build_argparser():
     p.add_argument("--scene", help="scene directory (TUNI layout)")
     p.add_argument("--synthetic", action="store_true",
                    help="run on the built-in synthetic scene")
+    p.add_argument("--synthetic-scene", default="orbit",
+                   choices=["orbit", "corridor"],
+                   help="synthetic scene type (orbit: lateral flow; "
+                        "corridor: forward-dolly disocclusion)")
     p.add_argument("--width", type=int, default=1280)
     p.add_argument("--height", type=int, default=720)
     p.add_argument("--frames", type=int, default=60)
@@ -79,7 +83,8 @@ def load_inputs(args):
         from .io.fixtures import synthetic_sequence
 
         data = synthetic_sequence(
-            width=args.width, height=args.height, frames=args.frames)
+            width=args.width, height=args.height, frames=args.frames,
+            scene=args.synthetic_scene)
         limits = dict(position_limit_squared=0.03, normal_limit_squared=0.5)
     return data, limits
 

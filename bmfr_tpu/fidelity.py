@@ -172,10 +172,13 @@ def main(argv=None):
     else:
         from .io.fixtures import synthetic_sequence
 
-        for seed, name in [(0, "orbit-a"), (7, "orbit-b")]:
+        for seed, sctype, name in [(0, "orbit", "orbit-a"),
+                                   (7, "orbit", "orbit-b"),
+                                   (3, "corridor", "corridor")]:
             scenes[name] = synthetic_sequence(
                 width=args.width, height=args.height,
-                frames=args.frames, seed=seed, aa_samples=8)
+                frames=args.frames, seed=seed, aa_samples=8,
+                scene=sctype)
 
     base = BMFRConfig(
         image_width=args.width, image_height=args.height,

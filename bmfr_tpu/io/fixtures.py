@@ -58,12 +58,26 @@ def _halton(i, b):
 
 
 _LIGHT = np.array([0.408, 0.816, 0.408])
-_SPHERE_C = np.array([0.0, 0.0, 0.0])
-_SPHERE_R = 1.0
-_PLANE_Y = -1.0
+
+#: scene geometry: spheres as (center, radius, albedo), axis-aligned
+#: planes as (axis, offset, normal_sign) with a checker albedo
+_ORBIT_SPHERES = [(np.array([0.0, 0.0, 0.0]), 1.0,
+                   np.array([0.85, 0.45, 0.25]))]
+_ORBIT_PLANES = [(1, -1.0, 1.0)]
+_CORRIDOR_SPHERES = [
+    (np.array([-1.1, -0.55, -1.0]), 0.45, np.array([0.85, 0.45, 0.25])),
+    (np.array([1.2, -0.35, -3.0]), 0.65, np.array([0.30, 0.55, 0.85])),
+    (np.array([-0.8, 0.35, -5.2]), 0.5, np.array([0.55, 0.80, 0.35])),
+    (np.array([0.6, -0.6, -7.0]), 0.4, np.array([0.85, 0.80, 0.30])),
+]
+_CORRIDOR_PLANES = [(1, -1.0, 1.0),   # floor
+                    (0, -2.2, 1.0),   # left wall
+                    (0, 2.2, -1.0),   # right wall
+                    (2, -9.5, 1.0)]   # back wall
 
 
-def _render_gbuffer(vp, eye, width, height, ox, oy):
+def _render_gbuffer(vp, eye, width, height, ox, oy,
+                    spheres=_ORBIT_SPHERES, planes=_ORBIT_PLANES):
     """Analytic G-buffer for one camera at one sub-pixel offset.
 
     Returns dict of HWC arrays: positions, normals, albedo, irr (clean
@@ -89,32 +103,54 @@ def _render_gbuffer(vp, eye, width, height, ox, oy):
     d = d / np.linalg.norm(d, axis=-1, keepdims=True)
     o = np.broadcast_to(eye, d.shape)
 
-    oc = o - _SPHERE_C
-    b = np.sum(oc * d, axis=-1)
-    c = np.sum(oc * oc, axis=-1) - _SPHERE_R**2
-    disc = b * b - c
-    t_sph = np.where(disc >= 0, -b - np.sqrt(np.maximum(disc, 0.0)), np.inf)
-    t_sph = np.where(t_sph > 1e-3, t_sph, np.inf)
+    t_hit = np.full(d.shape[:2], np.inf)
+    hit_id = np.full(d.shape[:2], -1, np.int32)
+    for i, (sc, sr, _alb) in enumerate(spheres):
+        oc = o - sc
+        b = np.sum(oc * d, axis=-1)
+        c = np.sum(oc * oc, axis=-1) - sr * sr
+        disc = b * b - c
+        t = np.where(disc >= 0, -b - np.sqrt(np.maximum(disc, 0.0)),
+                     np.inf)
+        t = np.where(t > 1e-3, t, np.inf)
+        hit_id = np.where(t < t_hit, i, hit_id)
+        t_hit = np.minimum(t_hit, t)
+    for j, (ax, off, sign) in enumerate(planes):
+        denom = d[..., ax]
+        t = np.where(np.abs(denom) > 1e-9,
+                     (off - o[..., ax]) / np.where(
+                         np.abs(denom) > 1e-9, denom, 1.0), np.inf)
+        # one-sided: only the face whose normal opposes the ray
+        t = np.where((t > 1e-3) & (denom * sign < 0), t, np.inf)
+        hit_id = np.where(t < t_hit, len(spheres) + j, hit_id)
+        t_hit = np.minimum(t_hit, t)
 
-    t_pl = (_PLANE_Y - o[..., 1]) / d[..., 1]
-    t_pl = np.where(t_pl > 1e-3, t_pl, np.inf)
-
-    t_hit = np.minimum(t_sph, t_pl)
-    hit_sphere = t_sph <= t_pl
     t_safe = np.where(np.isfinite(t_hit), t_hit, 50.0)
     pos = o + t_safe[..., None] * d
 
-    n_sph = pos - _SPHERE_C
-    n_sph = n_sph / np.linalg.norm(n_sph, axis=-1, keepdims=True)
-    n_pl = np.broadcast_to(np.array([0.0, 1.0, 0.0]), pos.shape)
-    normal = np.where(hit_sphere[..., None], n_sph, n_pl)
+    normal = np.zeros_like(pos)
+    albedo = np.full_like(pos, 0.05)
+    for i, (sc, _sr, alb) in enumerate(spheres):
+        n = pos - sc
+        n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True),
+                           1e-9)
+        m = (hit_id == i)[..., None]
+        normal = np.where(m, n, normal)
+        albedo = np.where(m, alb, albedo)
+    for j, (ax, _off, sign) in enumerate(planes):
+        # checker over the plane's two in-plane axes (the floor's is
+        # floor(x)+floor(z), exactly the original orbit fixture)
+        a0, a1 = [a for a in (0, 1, 2) if a != ax]
+        checker = ((np.floor(pos[..., a0]) + np.floor(pos[..., a1])) % 2)
+        alb_pl = np.stack([0.8 - 0.5 * checker, 0.7 - 0.3 * checker,
+                           0.6 - 0.2 * checker], axis=-1)
+        n = np.zeros(3)
+        n[ax] = sign
+        m = (hit_id == len(spheres) + j)[..., None]
+        normal = np.where(m, n, normal)
+        albedo = np.where(m, alb_pl, albedo)
 
-    checker = ((np.floor(pos[..., 0]) + np.floor(pos[..., 2])) % 2)
-    alb_pl = np.stack([0.8 - 0.5 * checker, 0.7 - 0.3 * checker,
-                       0.6 - 0.2 * checker], axis=-1)
-    alb_sph = np.broadcast_to(np.array([0.85, 0.45, 0.25]), pos.shape)
-    albedo = np.where(hit_sphere[..., None], alb_sph, alb_pl)
-    miss = ~np.isfinite(t_hit)
+    miss = hit_id < 0
     albedo = np.where(miss[..., None], 0.05, albedo)
 
     ndl = np.maximum(np.sum(normal * _LIGHT, axis=-1), 0.0)
@@ -126,8 +162,13 @@ def _render_gbuffer(vp, eye, width, height, ox, oy):
 
 
 def synthetic_sequence(width=64, height=48, frames=4, seed=0,
-                       noise_scale=0.35, orbit_step=0.02, aa_samples=1):
+                       noise_scale=0.35, orbit_step=0.02, aa_samples=1,
+                       scene="orbit"):
     """Render a deterministic synthetic sequence.
+
+    ``scene``: "orbit" (sphere on a ground plane, orbiting camera —
+    lateral optical flow) or "corridor" (four spheres in a walled
+    corridor, forward dolly — center-out disocclusion flow).
 
     Returns a dict of numpy arrays:
       normals/positions/albedo/noisy/clean: ``f32[T, H, W, 3]``
@@ -147,18 +188,38 @@ def synthetic_sequence(width=64, height=48, frames=4, seed=0,
         [[_halton(t + 1, 2), _halton(t + 1, 3)] for t in range(T)],
         np.float32)
 
+    if scene == "orbit":
+        spheres, planes = _ORBIT_SPHERES, _ORBIT_PLANES
+
+        def camera(t):
+            ang = 0.7 + orbit_step * t
+            eye = np.array([3.2 * np.cos(ang), 1.2 + 0.05 * t,
+                            3.2 * np.sin(ang)])
+            return eye, np.array([0.0, -0.2, 0.0])
+    elif scene == "corridor":
+        # forward dolly with a slight sway: the motion structure TAA
+        # and the warp see is disocclusion-from-center, unlike the
+        # orbit's lateral flow
+        spheres, planes = _CORRIDOR_SPHERES, _CORRIDOR_PLANES
+
+        def camera(t):
+            eye = np.array([0.6 * np.sin(0.3 + 2.5 * orbit_step * t),
+                            0.15, 3.8 - 7.5 * orbit_step * t])
+            return eye, np.array([0.0, -0.1, eye[2] - 4.0])
+    else:
+        raise ValueError(f"unknown scene type: {scene!r}")
+
     for t in range(T):
-        ang = 0.7 + orbit_step * t
-        eye = np.array([3.2 * np.cos(ang), 1.2 + 0.05 * t, 3.2 * np.sin(ang)])
-        view = _look_at(eye, np.array([0.0, -0.2, 0.0]),
-                        np.array([0.0, 1.0, 0.0]))
+        eye, center = camera(t)
+        view = _look_at(eye, center, np.array([0.0, 1.0, 0.0]))
         proj = _perspective(np.deg2rad(50.0), width / height, 0.1, 100.0)
         vp = proj @ view
         # Stored transposed so that *columns* project (opencl/bmfr.cl:342-347)
         cams[t] = vp.T.astype(np.float32)
 
         ox, oy = offsets[t]
-        g = _render_gbuffer(vp, eye, width, height, ox, oy)
+        g = _render_gbuffer(vp, eye, width, height, ox, oy,
+                            spheres, planes)
 
         noise = rng.gamma(shape=1.0 / max(noise_scale, 1e-6) ** 2,
                           scale=noise_scale**2, size=g["irr"].shape)
@@ -173,7 +234,8 @@ def synthetic_sequence(width=64, height=48, frames=4, seed=0,
             for s in range(aa_samples):
                 sx = _halton(s + 1, 2)
                 sy = _halton(s + 1, 3)
-                gs = _render_gbuffer(vp, eye, width, height, sx, sy)
+                gs = _render_gbuffer(vp, eye, width, height, sx, sy,
+                                     spheres, planes)
                 acc += gs["albedo"] * gs["irr"]
             out["clean_aa"][t] = (acc / aa_samples).astype(np.float32)
 
