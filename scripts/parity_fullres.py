@@ -41,6 +41,8 @@ def main():
     p.add_argument("--width", type=int, default=1280)
     p.add_argument("--height", type=int, default=720)
     p.add_argument("--modes", default="float32,pallas")
+    p.add_argument("--scene", default="orbit",
+                   choices=["orbit", "corridor"])
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "PARITY_FULLRES.json"))
@@ -55,7 +57,8 @@ def main():
     from bmfr_tpu.pipeline.denoise import FrameInputs, denoise_sequence
 
     H, W, T = args.height, args.width, args.frames
-    sc = synthetic_sequence(width=W, height=H, frames=T)
+    sc = synthetic_sequence(width=W, height=H, frames=T,
+                            scene=args.scene)
     frames = [dict(normals=sc["normals"][t], positions=sc["positions"][t],
                    noisy=sc["noisy"][t], albedo=sc["albedo"][t])
               for t in range(T)]
@@ -82,7 +85,7 @@ def main():
 
     record = dict(
         width=W, height=H, frames=T, backend=jax.default_backend(),
-        scene="synthetic orbit (io/fixtures.py)", modes={})
+        scene=f"synthetic {args.scene} (io/fixtures.py)", modes={})
     for mode in args.modes.split(","):
         cfg = base.replace(
             warp_mode=mode,
