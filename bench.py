@@ -20,6 +20,7 @@ import json
 import os
 import sys
 import time
+import traceback
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
@@ -28,9 +29,59 @@ import numpy as np
 BASELINE_MS = 1.6  # reference paper headline, BASELINE.md
 
 
+def _init_backend_with_retry(attempts=3, backoff_s=60.0):
+    """Initialize the JAX backend, retrying transient tunnel outages.
+
+    The axon TPU tunnel in this environment has documented multi-minute
+    wedges and outages (BENCH_r03 was lost to one: backend init raised
+    UNAVAILABLE during the driver's capture). A bounded retry with
+    backoff turns a transient outage into a delayed capture instead of
+    an empty rc=1 artifact. On final failure we still print ONE JSON
+    line naming the outage so the round's bench record is diagnostic,
+    never empty. The reference's analogue is its always-on device-event
+    profiling (opencl/bmfr.cpp:488-517) — a bench run must always
+    produce a record.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    last_err = None
+    for attempt in range(1, attempts + 1):
+        try:
+            devs = jax.devices()
+            # First device_put + tiny compute proves the device is
+            # actually serving, not just enumerable.
+            x = jax.device_put(np.ones((128, 128), np.float32))
+            float(jnp.sum(x))
+            print(f"[bench] backend up: {devs}", file=sys.stderr)
+            return
+        except Exception as e:  # noqa: BLE001 - init errors vary by stack
+            last_err = e
+            print(f"[bench] backend init attempt {attempt}/{attempts} "
+                  f"failed: {type(e).__name__}: {e}", file=sys.stderr)
+            if attempt < attempts:
+                print(f"[bench] retrying in {backoff_s:.0f}s...",
+                      file=sys.stderr)
+                time.sleep(backoff_s)
+    # Final failure: emit a diagnostic JSON line (never an empty record).
+    print(json.dumps({
+        "metric": "denoise_ms_per_frame_backend_unavailable",
+        "value": -1.0,
+        "unit": "ms",
+        "vs_baseline": 0.0,
+        "error": f"{type(last_err).__name__}: {last_err}"[:500],
+    }))
+    sys.exit(0)
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _init_backend_with_retry(
+        attempts=int(os.environ.get("BENCH_INIT_ATTEMPTS", "3")),
+        backoff_s=float(os.environ.get("BENCH_INIT_BACKOFF_S", "60")),
+    )
 
     from bmfr_tpu import (BMFRConfig, FrameInputs, TemporalState,
                           denoise_sequence)

@@ -88,6 +88,31 @@ def _unfilter_pxr24(data: bytes) -> np.ndarray:
     return (arr % 256).astype(np.uint8)
 
 
+def _float_to_float24(v: np.ndarray) -> np.ndarray:
+    """OpenEXR's floatToFloat24, vectorized (ImfPxr24Compressor.cpp).
+
+    Finite values round the significand to 15 bits with round-half-up on
+    exact ties: ((e|m) + (m & 0x80) + 0x3f) >> 8 — the carry may
+    propagate into the exponent; if it overflows into the infinity
+    exponent the significand is truncated instead. NaNs keep their top
+    15 significand bits but force at least one bit set so they never
+    collapse to infinity; infinities pass through.
+    """
+    u32 = np.ascontiguousarray(v, np.float32).view(np.uint32)
+    s = (u32 & 0x80000000) >> np.uint32(8)
+    e = u32 & 0x7F800000
+    m = u32 & 0x007FFFFF
+    m24 = m >> np.uint32(8)
+    nan_i24 = (e >> np.uint32(8)) | m24 | (m24 == 0).astype(np.uint32)
+    rounded = ((e | m) + (m & 0x80) + np.uint32(0x3F)) >> np.uint32(8)
+    fin_i24 = np.where(rounded >= 0x7F8000, (e | m) >> np.uint32(8),
+                       rounded)
+    i24 = np.where(e == 0x7F800000,
+                   np.where(m != 0, nan_i24, e >> np.uint32(8)),
+                   fin_i24)
+    return (s | i24).astype(np.uint32)
+
+
 def _decode_pxr24(chunk: bytes, channels, W: int, nlines: int) -> bytes:
     """PXR24 chunk -> the standard per-line-per-channel raw layout.
 
@@ -284,13 +309,7 @@ def write_exr_py(path: str, img_hwc: np.ndarray, half: bool = True,
                         planes += (h16 >> 8).astype(np.uint8).tobytes()
                         planes += (h16 & 0xFF).astype(np.uint8).tobytes()
                     else:
-                        # round-to-nearest float24 like OpenEXR's
-                        # floatToFloat24 (mantissa + 0x7f carries into
-                        # the exponent); inf/NaN pass through truncated
-                        u32 = v.view(np.uint32)
-                        inf = (u32 & 0x7F800000) == 0x7F800000
-                        u = np.where(inf, u32 >> 8,
-                                     (u32 + 0x7F) >> 8).astype(np.uint32)
+                        u = _float_to_float24(v)
                         planes += (u >> 16).astype(np.uint8).tobytes()
                         planes += ((u >> 8) & 0xFF).astype(np.uint8).tobytes()
                         planes += (u & 0xFF).astype(np.uint8).tobytes()

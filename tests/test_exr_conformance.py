@@ -226,13 +226,35 @@ def test_piz_random_bitmap_fuzz(tmp_path, seed):
 # PXR24: delta wrap + lossy truncation semantics
 # ------------------------------------------------------------------
 
+def _float_to_float24_scalar(i: int) -> int:
+    """Literal scalar transliteration of OpenEXR's floatToFloat24
+    (ImfPxr24Compressor.cpp) — the independent oracle for the writer's
+    vectorized version. Ties (mantissa low byte exactly 0x80) round up;
+    NaNs keep their top significand bits but force one bit set; a
+    rounding carry into the infinity exponent truncates instead."""
+    s = i & 0x80000000
+    e = i & 0x7F800000
+    m = i & 0x007FFFFF
+    if e == 0x7F800000:
+        if m:
+            m >>= 8
+            i24 = (e >> 8) | m | int(m == 0)
+        else:
+            i24 = e >> 8
+    else:
+        i24 = ((e | m) + (m & 0x80) + 0x3F) >> 8
+        if i24 >= 0x7F8000:
+            i24 = (e | m) >> 8
+    return (s >> 8) | i24
+
+
 def _pxr24_expected(img):
-    """PXR24 rounds the f32 pattern to its top 24 bits (OpenEXR's
-    floatToFloat24: mantissa + 0x7f, carry into the exponent)."""
-    u = img.view(np.uint32).astype(np.uint64)
-    inf = (u & 0x7F800000) == 0x7F800000
-    t = np.where(inf, u >> 8, (u + 0x7F) >> 8).astype(np.uint32)
-    return (t << 8).view(np.float32)
+    """PXR24 is lossy: f32 values land as float24 (decode shifts left 8,
+    so the low mantissa byte is zero)."""
+    u = img.view(np.uint32).ravel()
+    t = np.array([_float_to_float24_scalar(int(x)) for x in u],
+                 np.uint32).reshape(img.shape)
+    return (t << np.uint32(8)).view(np.float32)
 
 
 def test_pxr24_delta_wrap(tmp_path):
@@ -257,6 +279,39 @@ def test_pxr24_random_and_boundaries(tmp_path):
         p = str(tmp_path / f"pxr{H}.exr")
         write_exr_py(p, img, half=False, compression="pxr24")
         both_readers_bit_exact(p, _pxr24_expected(img))
+
+
+def test_pxr24_rounding_edge_cases(tmp_path):
+    """The floatToFloat24 corners: exact ties (low mantissa byte 0x80)
+    must round UP; NaNs whose top-15 mantissa bits are zero must stay
+    NaN (not collapse to infinity); values whose rounding carry would
+    overflow the exponent truncate instead of becoming inf."""
+    pats = np.array([
+        0x3F800080,  # 1.0 + tie: low byte exactly 0x80 -> rounds up
+        0x3F800180,  # odd 15-bit significand + tie -> also rounds up
+        0x3F80007F,  # just below tie -> rounds down
+        0x3F800081,  # just above tie -> rounds up
+        0x7F800001,  # NaN with top-15 mantissa bits zero
+        0x7FC00000,  # quiet NaN
+        0xFF800055,  # negative NaN, low-bits-only payload
+        0x7F7FFFFF,  # FLT_MAX: rounding would overflow -> truncate
+        0xFF7FFFC0,  # -FLT_MAX area tie at the overflow boundary
+        0x7F800000,  # +inf passes through
+        0xFF800000,  # -inf passes through
+        0x00000001,  # denormal
+        0x80000000,  # -0.0
+    ], np.uint32)
+    img = np.resize(pats.view(np.float32), (3, 5, 3)).copy()
+    p = str(tmp_path / "edge.exr")
+    write_exr_py(p, img, half=False, compression="pxr24")
+    exp = _pxr24_expected(img)
+    # spot-check the oracle itself on the load-bearing corners
+    assert _float_to_float24_scalar(0x3F800080) == 0x3F8001  # tie up
+    assert _float_to_float24_scalar(0x3F80007F) == 0x3F8000
+    nan24 = _float_to_float24_scalar(0x7F800001)
+    assert (nan24 & 0x7F8000) == 0x7F8000 and (nan24 & 0x7FFF) != 0
+    assert _float_to_float24_scalar(0x7F7FFFFF) == 0x7F7FFF  # no inf
+    both_readers_bit_exact(p, exp)
 
 
 # ------------------------------------------------------------------

@@ -94,10 +94,14 @@ def test_python_exr_roundtrip(tmp_path, comp, half):
     if half:
         exp = img.astype(np.float16).astype(np.float32)
     elif comp == "pxr24":
-        # OpenEXR floatToFloat24 rounding (see test_exr_conformance)
+        # OpenEXR floatToFloat24 rounding: ties (low byte 0x80) round
+        # up via the (m & 0x80) term (see test_exr_conformance for the
+        # scalar oracle incl. NaN/overflow corners; inputs here are
+        # finite and far from FLT_MAX)
         u = img.view(np.uint32).astype(np.uint64)
-        exp = ((((u + 0x7F) >> 8) << 8).astype(np.uint32)
-               .view(np.float32))
+        s, em = u & 0x80000000, u & 0x7FFFFFFF
+        t = (s >> 8) | ((em + (em & 0x80) + 0x3F) >> 8)
+        exp = (t << 8).astype(np.uint32).view(np.float32)
     else:
         exp = img
     assert np.array_equal(back, exp)
