@@ -105,6 +105,10 @@ def main():
         # alternative solver; the headline stays reference-exact QR
         solver=os.environ.get("BENCH_SOLVER", "householder"),
         residual_dtype=os.environ.get("BENCH_RESIDUAL", "float32"),
+        # tier-dispatch structure arbitration (config.py:warp_tier_impl):
+        # "switch" = flat 4-way switch; "steady_cond" = unconditional
+        # steady fix-up + rare-path cond. Value-identical; measured here.
+        warp_tier_impl=os.environ.get("BENCH_TIER", "switch"),
     ).validate()
 
     print(f"[bench] generating {frames}-frame {width}x{height} synthetic "

@@ -115,6 +115,18 @@ class BMFRConfig:
     #: whole stage is ~0.06 ms. Measured cost: FIDELITY_r3
     #: residual_bf16 rows.
     residual_dtype: str = "float32"
+    #: Dispatch structure for the fused warp's exactness tiers (kernel /
+    #: compact fix-up / whole-frame fallback — ops/warp_pallas.py):
+    #: "switch" = one flat 4-way lax.switch (round-3 structure);
+    #: "steady_cond" = the steady-capacity fix-up runs UNCONDITIONALLY
+    #: (identical values — padded compact indices rewrite covered pixels
+    #: with their own kernel values) and only the rare overflow tiers
+    #: (~1 frame in 60) sit behind a cond, keeping branch-copy costs off
+    #: the steady path. Both are value-identical at every coverage
+    #: level; the knob exists so the bench can arbitrate the structures
+    #: on hardware. "steady_only" drops overflow handling entirely —
+    #: measurement ONLY (a teleport frame would keep stale taps).
+    warp_tier_impl: str = "switch"
 
     # --- stage-bypass debug flags ---
     # The reference documents debugging by bisecting the 5-stage chain with
@@ -214,6 +226,9 @@ class BMFRConfig:
             raise ValueError(f"bad warp_mode: {self.warp_mode}")
         if self.residual_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"bad residual_dtype: {self.residual_dtype}")
+        if self.warp_tier_impl not in ("switch", "steady_cond",
+                                       "steady_only"):
+            raise ValueError(f"bad warp_tier_impl: {self.warp_tier_impl}")
         if self.features_not_scaled[:1] != ("const",):
             # The QR noise is never applied to column 0, which the reference
             # assumes to be the constant feature (opencl/bmfr.cl:606,625-627).

@@ -174,7 +174,8 @@ def main(argv=None):
 
         for seed, sctype, name in [(0, "orbit", "orbit-a"),
                                    (7, "orbit", "orbit-b"),
-                                   (3, "corridor", "corridor")]:
+                                   (3, "corridor", "corridor"),
+                                   (5, "swing", "swing")]:
             scenes[name] = synthetic_sequence(
                 width=args.width, height=args.height,
                 frames=args.frames, seed=seed, aa_samples=8,
@@ -186,8 +187,14 @@ def main(argv=None):
     rows = run_sweep(scenes, base)
     print_report(rows)
     if args.json_out:
+        import jax
+
+        # record the capture conditions so artifacts are self-describing
+        # (a CPU small-res sweep must not read as the full-res record)
+        meta = dict(width=args.width, height=args.height,
+                    frames=args.frames, backend=jax.default_backend())
         with open(args.json_out, "w") as f:
-            json.dump(rows, f, indent=1)
+            json.dump({"meta": meta, "rows": rows}, f, indent=1)
     return 0
 
 

@@ -75,6 +75,20 @@ _CORRIDOR_PLANES = [(1, -1.0, 1.0),   # floor
                     (0, 2.2, -1.0),   # right wall
                     (2, -9.5, 1.0)]   # back wall
 
+# The swing room: a fully enclosed box (no miss pixels — background
+# misses store position 0, and a panning camera projects them all to one
+# screen point, a fixture-artifact mega-fold that would mask the real
+# motion structure) around the orbit sphere plus two satellites.
+_SWING_SPHERES = [
+    (np.array([0.0, 0.0, 0.0]), 1.0, np.array([0.85, 0.45, 0.25])),
+    (np.array([-1.8, -0.4, 1.6]), 0.55, np.array([0.30, 0.55, 0.85])),
+    (np.array([1.5, 0.6, -1.9]), 0.7, np.array([0.55, 0.80, 0.35])),
+]
+_SWING_PLANES = [(1, -1.0, 1.0),    # floor
+                 (1, 3.2, -1.0),    # ceiling
+                 (0, -4.5, 1.0), (0, 4.5, -1.0),   # x walls
+                 (2, -4.5, 1.0), (2, 4.5, -1.0)]   # z walls
+
 
 def _render_gbuffer(vp, eye, width, height, ox, oy,
                     spheres=_ORBIT_SPHERES, planes=_ORBIT_PLANES):
@@ -167,8 +181,11 @@ def synthetic_sequence(width=64, height=48, frames=4, seed=0,
     """Render a deterministic synthetic sequence.
 
     ``scene``: "orbit" (sphere on a ground plane, orbiting camera —
-    lateral optical flow) or "corridor" (four spheres in a walled
-    corridor, forward dolly — center-out disocclusion flow).
+    lateral optical flow), "corridor" (four spheres in a walled
+    corridor, forward dolly — center-out disocclusion flow), or "swing"
+    (fixed-eye yaw pan — large near-uniform flow — with a camera
+    TELEPORT at ``frames // 2`` that breaks every reprojection test and
+    must engage the whole-frame fallback tier mid-sequence).
 
     Returns a dict of numpy arrays:
       normals/positions/albedo/noisy/clean: ``f32[T, H, W, 3]``
@@ -206,6 +223,25 @@ def synthetic_sequence(width=64, height=48, frames=4, seed=0,
             eye = np.array([0.6 * np.sin(0.3 + 2.5 * orbit_step * t),
                             0.15, 3.8 - 7.5 * orbit_step * t])
             return eye, np.array([0.0, -0.1, eye[2] - 4.0])
+    elif scene == "swing":
+        # pure rotation about a (near-)fixed eye: reprojection flow is
+        # large and almost uniform per tile (stresses the plan's window
+        # placement, not its spread), then the eye teleports across the
+        # scene at mid-sequence — every bilinear tap fails the position
+        # test and the frame must be served by the fallback tier
+        spheres, planes = _SWING_SPHERES, _SWING_PLANES
+        half_t = max(frames // 2, 1)
+
+        def camera(t):
+            pan = 2.0 * orbit_step * t
+            if t < half_t:
+                eye = np.array([3.0, 1.1, 0.6])
+                yaw = 3.3 + pan     # scene center stays in frame
+            else:
+                eye = np.array([-2.6, 1.6, -1.2])  # the teleport
+                yaw = 0.35 + pan
+            look = np.array([np.cos(yaw), -0.30, np.sin(yaw)])
+            return eye, eye + look
     else:
         raise ValueError(f"unknown scene type: {scene!r}")
 

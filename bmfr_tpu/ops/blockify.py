@@ -67,6 +67,44 @@ def jitter_offset(frame, block_edge=32):
     return table[jnp.mod(frame, table.shape[0])]
 
 
+def blockify_padded(cfg, planes, width=None):
+    """Mirror pad ONLY — no jitter slice. Returns ``(padded, tw)``.
+
+    The planes-direct fitter DMAs its 32-row tiles straight from HBM at
+    dynamic origins (unaligned origins are free on this hardware —
+    scripts/probe_dma_align.py), so the per-frame jitter can ride the
+    DMA origin instead of materializing a second 36 MB view copy
+    (``lax.dynamic_slice`` here measured 0.12 ms/frame,
+    docs/PERF_NOTES.md round 3). ``tw`` is the view width the consumer
+    must fetch (equal to ``width`` unless the image is too small for the
+    mirror to reach, in which case the caller must fall back to
+    :func:`blockify_view` + constant pad)."""
+    C, H, W = planes.shape
+    half = cfg.block_edge // 2
+    mw = cfg.workset_with_margins_width
+    tw = width or mw
+    pad_lo, pad_hi_x, pad_hi_y = _pads(cfg)
+    if pad_hi_x + (tw - mw) + half > W:
+        tw = mw
+    pad_hi_x = pad_hi_x + (tw - mw)
+    padded = jnp.pad(
+        planes, ((0, 0), (pad_lo, pad_hi_y), (pad_lo, pad_hi_x)),
+        mode="symmetric")
+    return padded, tw
+
+
+def jitter_origin(cfg, frame):
+    """The (row, col) origin of the jittered view inside
+    :func:`blockify_padded`'s output — i32[2], traced. Consumers add it
+    to their tile DMA origins; ``blockify_view`` is exactly
+    ``dynamic_slice(padded, origin)``."""
+    pad_lo, _, _ = _pads(cfg)
+    half = cfg.block_edge // 2
+    off = jitter_offset(frame, cfg.block_edge)
+    return jnp.stack([pad_lo - half + off[1],
+                      pad_lo - half + off[0]]).astype(jnp.int32)
+
+
 def blockify_view(cfg, planes, frame, width=None):
     """The jittered margins-grid view only — ``[C, H, W]`` planes ->
     ``[C, mh, mw]`` (mirror pad + per-frame jitter slice), without the

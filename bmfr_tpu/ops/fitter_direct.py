@@ -62,6 +62,28 @@ def _pads_for_direct(cfg):
     return nbx_pad, nbx_pad * cfg.block_edge
 
 
+def _norm_view_origin(cfg, view9, origin, mw_pad):
+    """Normalize the (view, origin) calling contract.
+
+    ``origin=None``: ``view9`` is the pre-sliced jittered view
+    (``blockify_view``), fetched from (0, 0) — constant-pad ragged lane
+    columns as before. Otherwise ``view9`` is the mirror-padded planes
+    (``blockify_padded``) and ``origin`` the ``jitter_origin`` i32[2];
+    the jitter becomes a tile DMA-origin offset (no view copy)."""
+    nby = cfg.blocks_y
+    if origin is None:
+        if view9.shape[2] != mw_pad:
+            view9 = jnp.pad(
+                view9, ((0, 0), (0, 0), (0, mw_pad - view9.shape[2])),
+                constant_values=1.0)
+        origin = jnp.zeros((2,), jnp.int32)
+    else:
+        assert view9.shape[1] >= nby * cfg.block_edge and \
+            view9.shape[2] >= mw_pad, (view9.shape, mw_pad)
+        origin = origin.astype(jnp.int32)
+    return view9, origin
+
+
 def _seg_reduce(x, op, be):
     """Reduce each ``be``-lane segment of the last axis with ``op``,
     leaving the segment value in every lane: masked log-step suffix
@@ -115,8 +137,8 @@ def _build_block_data(cfg, raw, noise_vmem, want_basis, r_iota_unused=None):
     # K1 feature build + store contract (bmfr.cl:447-476)
     rows = [FEATURE_REGISTRY[name](n3, p3)
             for name in cfg.all_features]
-    data = jnp.concatenate(
-        [jnp.stack(rows, axis=0), accum], axis=0)       # [B, be, LANES]
+    feat_f32 = jnp.stack(rows, axis=0)                  # [F, be, LANES]
+    data = jnp.concatenate([feat_f32, accum], axis=0)   # [B, be, LANES]
     data = jnp.where(jnp.isnan(data), 0.0, data)
     if cfg.tmp_data_dtype == "float16":
         data = jnp.clip(data, -65504.0, 65504.0)
@@ -133,10 +155,16 @@ def _build_block_data(cfg, raw, noise_vmem, want_basis, r_iota_unused=None):
     basis = None
     if want_basis:
         # K3's reconstruction basis: the reference's weighted_sum
-        # re-reads the K1-stored features and rescales in registers
-        # (opencl/bmfr.cl:724-747) — stored-precision features, f32
-        # rescale, no re-store rounding, no noise
-        basis = jnp.concatenate([data[:lo], scaled], axis=0)
+        # RECOMPUTES the features per pixel from the raw f32
+        # normals/positions buffers (opencl/bmfr.cl:724-729) and
+        # rescales in registers with K2's mins_maxs — so the basis is
+        # built from the PRE-quantize f32 feature rows, never from the
+        # stored-precision data. Under float32 tmp this is identical to
+        # the stored rows; under float16/bfloat16 tmp it keeps the
+        # fused reconstruct equal to weighted_sum_image (only the
+        # min/max come from the quantized store, as in the reference).
+        sc32 = (feat_f32[lo:F] - rmin[:, None, :]) / denom[:, None, :]
+        basis = jnp.concatenate([feat_f32[:lo], sc32], axis=0)
     data = jnp.concatenate([data[:lo], scaled, data[F:]], axis=0)
     data = _quantize(cfg, data)
 
@@ -147,8 +175,8 @@ def _build_block_data(cfg, raw, noise_vmem, want_basis, r_iota_unused=None):
     return data, basis, rmin, rmax
 
 
-def _qr_kernel(cfg, n_chunks, ncx, reconstruct, src_hbm, noise_vmem,
-               *refs):
+def _qr_kernel(cfg, n_chunks, ncx, reconstruct, org_smem, src_hbm,
+               noise_vmem, *refs):
     if reconstruct:
         (recon_hbm, x2, fstage, sem_i, sem_f) = refs
     else:
@@ -171,10 +199,15 @@ def _qr_kernel(cfg, n_chunks, ncx, reconstruct, src_hbm, noise_vmem,
         return jnp.dot(m, G, preferred_element_type=jnp.float32)
 
     def dma_in(i, slot):
+        # the per-frame jitter rides the DMA origin (org_smem — the
+        # jitter_origin of the mirror-padded planes; exact unaligned
+        # origins are free, scripts/probe_dma_align.py), so the caller
+        # never materializes the jittered view copy
         by = i // ncx
         cx = i % ncx
         return pltpu.make_async_copy(
-            src_hbm.at[:, pl.ds(by * be, be), pl.ds(cx * LANES, LANES)],
+            src_hbm.at[:, pl.ds(org_smem[0] + by * be, be),
+                       pl.ds(org_smem[1] + cx * LANES, LANES)],
             x2.at[slot], sem_i.at[slot])
 
     dma_in(0, 0).start()
@@ -272,13 +305,15 @@ def _qr_kernel(cfg, n_chunks, ncx, reconstruct, src_hbm, noise_vmem,
     jax.lax.fori_loop(0, n_chunks, body, 0)
 
 
-def fit_blocks_direct(cfg, view9, frame, interpret=None):
+def fit_blocks_direct(cfg, view9, frame, interpret=None, origin=None):
     """Fit all blocks from the raw jittered image-layout planes.
 
     view9: ``[9, mh, mw]`` f32 from ``blockify_view`` over the
     concatenated (normals, positions, accumulated color) planes —
-    *unquantized*; the K1 store contract runs in-kernel. Returns
-    (weights ``f32[n_blocks, F, 3]``, mins_maxs
+    *unquantized*; the K1 store contract runs in-kernel. With
+    ``origin`` (``jitter_origin`` i32[2]), ``view9`` is instead the
+    ``blockify_padded`` planes and the jitter rides the tile DMA
+    origins. Returns (weights ``f32[n_blocks, F, 3]``, mins_maxs
     ``f32[n_blocks, n_scaled, 2]``) like ``fit_blocks``.
     """
     assert cfg.block_edge == 32, "direct fitter requires 32x32 blocks"
@@ -289,12 +324,7 @@ def fit_blocks_direct(cfg, view9, frame, interpret=None):
     nby = cfg.blocks_y
     nbx = cfg.blocks_x
     nbx_pad, mw_pad = _pads_for_direct(cfg)
-
-    if view9.shape[2] != mw_pad:
-        # pad the ragged block columns with ones (fitted then discarded)
-        view9 = jnp.pad(
-            view9, ((0, 0), (0, 0), (0, mw_pad - view9.shape[2])),
-            constant_values=1.0)
+    view9, origin = _norm_view_origin(cfg, view9, origin, mw_pad)
 
     # lane-tiled noise: noise[f, e] lives at (sublane e//be, lane e%be)
     # in every block segment (bmfr.cl:89-97, :625-627)
@@ -317,7 +347,8 @@ def fit_blocks_direct(cfg, view9, frame, interpret=None):
             jax.ShapeDtypeStruct((n_chunks, _EXPORT_ROWS, LANES),
                                  jnp.float32),
         ],
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pl.ANY)],
@@ -332,7 +363,7 @@ def fit_blocks_direct(cfg, view9, frame, interpret=None):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(view9, noise_lanes)
+    )(origin, view9, noise_lanes)
 
     # [n_chunks, rows, LANES] -> per-block reduced [n_blocks, B, be]
     red = reduced[:, :B].reshape(nby, ncx, B, CHUNK, be)
@@ -352,7 +383,8 @@ def fit_blocks_direct(cfg, view9, frame, interpret=None):
     return weights, mins_maxs
 
 
-def fit_reconstruct_direct(cfg, view9, frame, interpret=None):
+def fit_reconstruct_direct(cfg, view9, frame, interpret=None,
+                           origin=None):
     """Fully fused K2+K3: fit every block AND reconstruct the filtered
     color in one kernel pass — back substitution and the weighted sum
     run in VMEM right after the QR, so no reduced-system export, no
@@ -361,8 +393,10 @@ def fit_reconstruct_direct(cfg, view9, frame, interpret=None):
     path disappears; docs/PERF_NOTES.md round 3).
 
     view9: ``[9, mh, mw]`` f32 from ``blockify_view`` (normals,
-    positions, accumulated color). Returns the filtered color in the
-    same jittered margins-grid view layout ``f32[3, mh, mw]``; the
+    positions, accumulated color) — or, with ``origin``
+    (``jitter_origin`` i32[2]), the ``blockify_padded`` planes with the
+    jitter riding the tile DMA origins. Returns the filtered color in
+    the jittered margins-grid view layout ``f32[3, mh, mw_pad]``; the
     caller slices the image window back out with the inverse jitter
     (same mapping as unblockify_planes / opencl/bmfr.cl:718-722).
     """
@@ -372,12 +406,7 @@ def fit_reconstruct_direct(cfg, view9, frame, interpret=None):
     be = cfg.block_edge
     nby = cfg.blocks_y
     nbx_pad, mw_pad = _pads_for_direct(cfg)
-    mh, mw = view9.shape[1], view9.shape[2]
-
-    if view9.shape[2] != mw_pad:
-        view9 = jnp.pad(
-            view9, ((0, 0), (0, 0), (0, mw_pad - view9.shape[2])),
-            constant_values=1.0)
+    view9, origin = _norm_view_origin(cfg, view9, origin, mw_pad)
 
     noise = feature_noise(frame, F, cfg.block_pixels, B,
                           cfg.noise_amount)              # [F, bp]
@@ -394,7 +423,8 @@ def fit_reconstruct_direct(cfg, view9, frame, interpret=None):
         kernel,
         out_shape=jax.ShapeDtypeStruct((3, nby * be, mw_pad),
                                        jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
@@ -406,11 +436,11 @@ def fit_reconstruct_direct(cfg, view9, frame, interpret=None):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(view9, noise_lanes)
-    return recon[:, :mh, :mw]
+    )(origin, view9, noise_lanes)
+    return recon
 
 
-def _chol_kernel(cfg, n_chunks, ncx, src_hbm, noise_vmem,
+def _chol_kernel(cfg, n_chunks, ncx, org_smem, src_hbm, noise_vmem,
                  recon_hbm, x2, fstage, sem_i, sem_f):
     """Fused K2+K3 with the normal-equations solver: Gram + rhs via
     indicator matmuls (MXU), a lane-parallel 13x13 Cholesky on [CHUNK]-
@@ -429,10 +459,12 @@ def _chol_kernel(cfg, n_chunks, ncx, src_hbm, noise_vmem,
     GT = G.T                                            # [CHUNK, LANES]
 
     def dma_in(i, slot):
+        # jitter rides the DMA origin, as in _qr_kernel
         by = i // ncx
         cx = i % ncx
         return pltpu.make_async_copy(
-            src_hbm.at[:, pl.ds(by * be, be), pl.ds(cx * LANES, LANES)],
+            src_hbm.at[:, pl.ds(org_smem[0] + by * be, be),
+                       pl.ds(org_smem[1] + cx * LANES, LANES)],
             x2.at[slot], sem_i.at[slot])
 
     dma_in(0, 0).start()
@@ -516,7 +548,8 @@ def _chol_kernel(cfg, n_chunks, ncx, src_hbm, noise_vmem,
     jax.lax.fori_loop(0, n_chunks, body, 0)
 
 
-def fit_reconstruct_cholesky(cfg, view9, frame, interpret=None):
+def fit_reconstruct_cholesky(cfg, view9, frame, interpret=None,
+                             origin=None):
     """Fully fused K2+K3 with ``solver="cholesky"`` semantics (see
     :func:`_chol_kernel`). Same layout contract as
     :func:`fit_reconstruct_direct`."""
@@ -526,12 +559,7 @@ def fit_reconstruct_cholesky(cfg, view9, frame, interpret=None):
     be = cfg.block_edge
     nby = cfg.blocks_y
     nbx_pad, mw_pad = _pads_for_direct(cfg)
-    mh, mw = view9.shape[1], view9.shape[2]
-
-    if view9.shape[2] != mw_pad:
-        view9 = jnp.pad(
-            view9, ((0, 0), (0, 0), (0, mw_pad - view9.shape[2])),
-            constant_values=1.0)
+    view9, origin = _norm_view_origin(cfg, view9, origin, mw_pad)
 
     noise = feature_noise(frame, F, cfg.block_pixels, B,
                           cfg.noise_amount)              # [F, bp]
@@ -548,7 +576,8 @@ def fit_reconstruct_cholesky(cfg, view9, frame, interpret=None):
         kernel,
         out_shape=jax.ShapeDtypeStruct((3, nby * be, mw_pad),
                                        jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
@@ -560,5 +589,5 @@ def fit_reconstruct_cholesky(cfg, view9, frame, interpret=None):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(view9, noise_lanes)
-    return recon[:, :mh, :mw]
+    )(origin, view9, noise_lanes)
+    return recon

@@ -11,10 +11,11 @@ reprojection fields (scripts/probe_fields.py), per-16x256-tile
 displacement spread is p50 ~3 px and p99 ~13-19 px, so almost every
 pixel resolves from a small per-tile window:
 
-  1. per tile, DMA a motion-bounded window of the packed source
-     (8-aligned row origin, 128-aligned column origin) into VMEM,
-  2. one dynamic lane roll aligns the window to the tile's minimum
-     column displacement,
+  1. per tile, DMA a motion-bounded window of the packed source into
+     VMEM at its *exact* (unaligned) origin — v4; no alignment slack,
+     no in-kernel rolls,
+  2. (v3 and earlier only: dynamic rolls removed the 8/128-alignment
+     slack; v4 deleted them),
   3. resolve the source row with shifted-sublane-slice selects driven by
      a per-source-column selector plane (``row1`` rides along as the
      ``k+1`` slice — source padding makes ``row1 = row0 + 1`` always),
@@ -42,12 +43,16 @@ resolved word per (row, pixel) yields both horizontal taps, and the
 caller's unpack/mask logic is shared verbatim with the XLA packed mode.
 
 Mosaic facts this kernel is built on (measured; scripts/probe_v5.py,
-docs/PERF_NOTES.md): grid steps cost ~37 us (hence one invocation with a
-``fori_loop`` over tiles at ~1.3 us each); DMA slice offsets must be
-wrapped in ``pl.multiple_of`` and 8-aligned (sublanes) / 128-aligned
-(lanes); two-axis dynamic DMA offsets work; ``pltpu.roll`` accepts
-traced shifts; ``lax.switch`` on an SMEM scalar selects between
-unrolled bodies.
+scripts/probe_dma_align.py, docs/PERF_NOTES.md): grid steps cost ~37 us
+(hence one invocation with a ``fori_loop`` over tiles at ~1.3 us each);
+HBM->VMEM copy origins may be *unaligned* in both axes at no measured
+cost penalty (probe_dma_align.py; the v4 kernel fetches each window at
+its exact origin — the old "wrap offsets in ``pl.multiple_of``,
+8-align sublanes / 128-align lanes" rule was a v3-era conservatism
+whose slack cost 25% extra window DMA plus two in-kernel rolls);
+two-axis dynamic DMA offsets work; ``pltpu.roll`` accepts traced
+shifts; ``lax.switch`` on an SMEM scalar selects between unrolled
+bodies.
 """
 
 from __future__ import annotations
@@ -941,14 +946,38 @@ def warp_blend_pallas(cfg, stacked, cur6, pfx, pfy, *, src8=None,
     # 4x tier absorbs claim-degenerate frames (near-axis-aligned camera
     # angles produce ~25k fold conflicts; measured on the orbit scene's
     # frame 1) at ~3 ms instead of the ~15 ms whole-frame fallback.
-    # One flat lax.switch (not nested conds): every cond level copies
-    # its 48 MB plane operands.
     tiers = (fixup_k // 2, fixup_k, 4 * fixup_k)
     in_kernel = plan.n_uncovered <= tiers[-1]
     tier = sum(((plan.n_uncovered > k).astype(i32) for k in tiers),
                jnp.zeros((), i32))
-    planes = jax.lax.switch(
-        tier, [make_fixup(k) for k in tiers] + [full_fallback], None)
+    impl = getattr(cfg, "warp_tier_impl", "switch")
+    if impl == "switch":
+        # round-3 structure: one flat lax.switch (not nested conds —
+        # every cond level copies its 48 MB plane operands)
+        planes = jax.lax.switch(
+            tier, [make_fixup(k) for k in tiers] + [full_fallback], None)
+    else:
+        # the steady tier runs UNCONDITIONALLY: compact_indices pads
+        # with index n-1, and every fix-up blend reproduces the kernel's
+        # value bit-for-bit (same bf16 taps), so overwriting covered
+        # pixels is the identity — only the rare overflow tiers
+        # (~1 frame in 60) need a branch at all
+        steady = make_fixup(tiers[0])(None)
+        if impl == "steady_only":
+            # measurement-only: no overflow handling (a teleport frame
+            # keeps stale taps) — bounds the dispatch structure's cost
+            planes = steady
+        else:  # steady_cond
+            def heavy(_):
+                t2 = ((plan.n_uncovered > tiers[1]).astype(i32)
+                      + (plan.n_uncovered > tiers[2]).astype(i32))
+                return jax.lax.switch(
+                    t2, [make_fixup(tiers[1]), make_fixup(tiers[2]),
+                         full_fallback], None)
+
+            planes = jax.lax.cond(
+                plan.n_uncovered > tiers[0], heavy,
+                lambda _: steady, None)
     served = jnp.where(in_kernel, i32(H * W) - plan.n_uncovered, i32(0))
     stats = jnp.concatenate([
         plan.n_uncovered[None], (~in_kernel).astype(i32)[None],

@@ -185,7 +185,8 @@ def denoise_frame(cfg, state, inputs: FrameInputs,
     if direct and cfg.skip_fitting:
         filtered = k1["accum"]
     elif direct:
-        from ..ops.blockify import blockify_view, jitter_offset
+        from ..ops.blockify import (blockify_padded, blockify_view,
+                                    jitter_offset, jitter_origin)
         from ..ops.fitter_direct import (_pads_for_direct,
                                          fit_reconstruct_cholesky,
                                          fit_reconstruct_direct)
@@ -193,18 +194,26 @@ def denoise_frame(cfg, state, inputs: FrameInputs,
                            if cfg.solver == "cholesky"
                            else fit_reconstruct_direct)
 
+        mw_pad = _pads_for_direct(cfg)[1]
         with jax.named_scope("k2_blockify"):
             # raw planes only — feature build + the K1 store contract +
-            # scale + noise all run inside the fused direct kernel;
-            # the view is built at the fitter's whole-chunk width so no
-            # second pad pass runs (mirrored filler blocks, discarded)
-            view9 = blockify_view(
-                cfg, jnp.concatenate(
-                    [inputs.normals, inputs.positions, k1["accum"]],
-                    axis=0), frame, width=_pads_for_direct(cfg)[1])
+            # scale + noise all run inside the fused direct kernel.
+            # Mirror pad ONLY: the per-frame jitter rides the kernel's
+            # tile DMA origins, so the 36 MB jittered-view copy
+            # (0.12 ms/frame) never materializes.
+            raw9 = jnp.concatenate(
+                [inputs.normals, inputs.positions, k1["accum"]], axis=0)
+            padded9, tw = blockify_padded(cfg, raw9, width=mw_pad)
+            if tw == mw_pad:
+                origin = jitter_origin(cfg, frame)
+            else:
+                # image too small for the mirror to reach the chunk
+                # width: fall back to the sliced view + constant pad
+                padded9 = blockify_view(cfg, raw9, frame, width=tw)
+                origin = None
         with jax.named_scope("k2_fitter"):
             # K2+K3 fused: fit + back-substitute + reconstruct in VMEM
-            fview = fit_reconstruct(cfg, view9, frame)
+            fview = fit_reconstruct(cfg, padded9, frame, origin=origin)
         with jax.named_scope("k3_weighted_sum"):
             # inverse jitter: image pixel (y, x) = view[y + half - off1,
             # x + half - off0] (unblockify mapping, bmfr.cl:718-722)

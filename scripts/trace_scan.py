@@ -14,7 +14,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-FRAMES = 8
+#: default 60 — the full reference workload (opencl/bmfr.cpp:41), so the
+#: per-stage table amortizes the teleport fallback exactly like the
+#: headline bench and must total within 5% of it (VERDICT r3 #6)
+FRAMES = int(os.environ.get("TRACE_FRAMES", "60"))
 
 
 def main():

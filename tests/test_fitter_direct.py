@@ -87,14 +87,19 @@ def test_config_rejects_unsupported_direct(tiny_cfg):
                      solver="cholesky").validate()
 
 
+@pytest.mark.parametrize("dtype", ["float32", "float16", "bfloat16"])
 def test_fused_reconstruct_matches_weighted_sum_image(tiny_cfg,
-                                                      frame_planes):
+                                                      frame_planes, dtype):
     """The fully fused K2+K3 kernel (in-VMEM back substitution +
-    reconstruction) must match fit_blocks_direct + weighted_sum_image."""
+    reconstruction) must match fit_blocks_direct + weighted_sum_image —
+    including under reduced-precision tmp storage, where the reference's
+    K3 recomputes features from the raw f32 buffers (bmfr.cl:724-729),
+    NOT from the quantized store: the fused basis must be pre-quantize."""
     from bmfr_tpu.ops.blockify import jitter_offset
     from bmfr_tpu.ops.fitter_direct import fit_reconstruct_direct
     from bmfr_tpu.ops.weighted_sum import weighted_sum_image
 
+    tiny_cfg = tiny_cfg.replace(tmp_data_dtype=dtype).validate()
     normals, positions, accum = frame_planes
     H, W = tiny_cfg.image_height, tiny_cfg.image_width
     for frame in (0, 1, 7):
@@ -140,6 +145,38 @@ def test_fused_cholesky_matches_xla_cholesky(tiny_cfg, frame_planes):
             (3, H, W))
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=5e-3, atol=5e-3)
+
+
+@pytest.mark.parametrize("solver", ["householder", "cholesky"])
+def test_origin_mode_matches_sliced_view(tiny_cfg, solver):
+    """DMA-origin jitter (blockify_padded + jitter_origin — the
+    pipeline's production contract, which never materializes the
+    jittered view) must be bit-identical to the pre-sliced
+    blockify_view path."""
+    from bmfr_tpu.ops.blockify import blockify_padded, jitter_origin
+    from bmfr_tpu.ops.fitter_direct import (_pads_for_direct,
+                                            fit_reconstruct_cholesky,
+                                            fit_reconstruct_direct)
+
+    # 480 wide -> blocks_x = 16 = one whole chunk, so the mirror pad
+    # reaches the chunk width and the origin path engages (tiny 64x48
+    # always degrades to the sliced-view fallback)
+    cfg = tiny_cfg.replace(image_width=480, image_height=64,
+                           solver=solver).validate()
+    fit = (fit_reconstruct_cholesky if solver == "cholesky"
+           else fit_reconstruct_direct)
+    rng = np.random.default_rng(5)
+    raw9 = jnp.asarray(rng.standard_normal(
+        (9, cfg.image_height, cfg.image_width)).astype(np.float32))
+    mw_pad = _pads_for_direct(cfg)[1]
+    padded9, tw = blockify_padded(cfg, raw9, width=mw_pad)
+    assert tw == mw_pad, (tw, mw_pad)
+    for frame in (0, 3):
+        f = jnp.int32(frame)
+        view = blockify_view(cfg, raw9, f, width=mw_pad)
+        want = fit(cfg, view, f)
+        got = fit(cfg, padded9, f, origin=jitter_origin(cfg, f))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
 def test_pipeline_direct_cholesky_runs(tiny_cfg, tiny_scene):

@@ -34,7 +34,18 @@ def test_eight_device_mesh_available():
         "tests require the 8-device virtual CPU mesh (conftest)")
 
 
-def test_sharded_matches_single_device(cfg):
+@pytest.mark.parametrize("variant", [
+    {},
+    {"solver": "cholesky"},
+    {"residual_dtype": "bfloat16"},
+    {"tmp_data_dtype": "float16"},
+])
+def test_sharded_matches_single_device(cfg, variant):
+    """shard_map runs with check_vma=False (pallas out_shapes carry no
+    varying-mesh-axes annotation), so static checking is off for the
+    whole sharded program — every shipped config variant therefore needs
+    this numerical sharded==single-device proof, not just the default."""
+    cfg = cfg.replace(**variant).validate()
     S, T = 8, 2
     inputs, cams, offs = _scene_batch(cfg, S, T)
     mesh = make_scene_mesh()
@@ -44,7 +55,19 @@ def test_sharded_matches_single_device(cfg):
     # single-device reference: plain vmap over scenes
     single = np.asarray(jax.vmap(
         lambda i, c, o: denoise_sequence(cfg, i, c, o))(inputs, cams, offs))
-    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-5)
+    # The two programs fuse differently, so the XLA paths carry ~1e-7 of
+    # contraction-order noise. With residual_dtype=bfloat16 the TAA AABB
+    # bound is quantized: noise that moves a pixel across the FIXED
+    # quantized bound becomes an |x - bound| difference of up to one
+    # bf16 ulp (measured: 3 px at <=2.5e-5 over 8 scenes) — clamp-
+    # boundary amplification, not a sharding defect. Bound the allowance
+    # by one bf16 ulp at unit scale and require it to stay rare.
+    if variant.get("residual_dtype") == "bfloat16":
+        d = np.abs(sharded - single)
+        assert d.max() <= 4e-3, d.max()
+        assert (d > 1e-5).sum() <= d.size // 10_000, (d > 1e-5).sum()
+    else:
+        np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-5)
 
 
 def test_sharded_multi_scene_per_chip(cfg):

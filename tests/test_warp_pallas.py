@@ -371,6 +371,49 @@ def test_fullres_orbit_kernel_tier_engagement():
     assert fallbacks <= 1, fallbacks
 
 
+def test_fullres_swing_teleport_forces_fallback():
+    """The third adversarial scene family (VERDICT r3 #4): a fixed-eye
+    yaw pan whose flow is large but near-uniform — the plan must keep it
+    off the whole-frame fallback — with a camera TELEPORT at frames//2
+    that must overflow every fix-up tier and engage the fallback
+    mid-sequence at production resolution."""
+    from bmfr_tpu.config import BMFRConfig
+    from bmfr_tpu.io.fixtures import synthetic_sequence
+    from bmfr_tpu.ops.gather import floor_int
+    from bmfr_tpu.ops.reproject import reproject_coords
+    from bmfr_tpu.ops.warp_pallas import FIXUP_K, _mask_bits, _plan_blend
+
+    Hf, Wf, T = 720, 1280, 8
+    cfg = BMFRConfig(image_width=Wf, image_height=Hf,
+                     position_limit_squared=0.03,
+                     normal_limit_squared=0.5).validate()
+    sc = synthetic_sequence(width=Wf, height=Hf, frames=T, scene="swing",
+                            seed=3)
+    src8 = jnp.zeros((8, Hf, Wf), jnp.int32)
+
+    plan_jit = jax.jit(lambda pos, cam, off: _plan_blend(
+        src8, *(lambda pfx, pfy: (
+            floor_int(pfy), floor_int(pfx),
+            pfx - jnp.floor(pfx), pfy - jnp.floor(pfy),
+            _mask_bits(floor_int(pfy), floor_int(pfx), Hf, Wf)))(
+            *reproject_coords(cfg, pos, cam, off))).n_uncovered)
+
+    teleport_t = T // 2
+    for t in range(2, T):  # frame 1's sweep-in may overflow, as on orbit
+        pos = jnp.asarray(np.moveaxis(
+            sc["positions"][t], -1, 0).astype(np.float32))
+        cam = jnp.asarray(sc["camera_matrices"][t - 1])
+        off = jnp.asarray(sc["pixel_offsets"][t])
+        n_unc = int(plan_jit(pos, cam, off))
+        if t == teleport_t:
+            # the teleport breaks ~every pixel's window residency: the
+            # 4x fix-up tier (4*FIXUP_K) must overflow too
+            assert n_unc > 4 * FIXUP_K, (t, n_unc)
+        else:
+            # steady pan: served by the kernel + fix-up tiers
+            assert n_unc <= 4 * FIXUP_K, (t, n_unc)
+
+
 def test_blend_big_fixup_tier_exact(tiny_cfg):
     """A claim-degenerate region lands in the 4x fix-up tier (between
     fixup_k and 4*fixup_k uncovered) — it must take a fix-up tier, not
@@ -418,3 +461,60 @@ def test_blend_big_fixup_tier_exact(tiny_cfg):
     np.testing.assert_allclose(
         np.where(on, np.asarray(got), 0), np.where(on, np.asarray(want), 0),
         rtol=1e-6, atol=1e-6)
+
+
+def test_blend_tier_impls_bitwise_identical(tiny_cfg):
+    """The tier dispatch structures (flat switch vs unconditional steady
+    fix-up + rare-overflow cond) must produce BIT-identical planes at
+    every coverage level: kernel-tier, each fix-up tier, and the
+    whole-frame fallback ('steady_only' only matches below overflow)."""
+    from bmfr_tpu.ops.warp_pallas import warp_blend_pallas
+
+    rng = np.random.default_rng(44)
+    Ht, Wt = 48, 160
+    cfg = tiny_cfg.replace(image_height=Ht, image_width=Wt).validate()
+    stacked = jnp.asarray(
+        rng.standard_normal((16, Ht, Wt)).astype(np.float32))
+    cur6 = jnp.asarray(rng.standard_normal((6, Ht, Wt)).astype(np.float32))
+    yy = (np.arange(Ht)[:, None] + np.zeros((1, Wt))).astype(np.float32)
+    xx = (np.arange(Wt)[None, :] + np.zeros((Ht, 1))).astype(np.float32)
+
+    fields = {
+        # gentle pan: kernel tier (n_unc ~ 0)
+        "kernel": (yy + 1.2, xx - 0.7),
+        # minified band: fold conflicts -> fix-up tiers
+        "fixup": (np.where(yy < 20, yy * 2.0 - 10.0, yy + 1.2),
+                  np.where(yy < 20, xx * 2.0 - 40.0, xx - 0.7)),
+        # random scatter: overflow -> whole-frame fallback
+        "fallback": (rng.random((Ht, Wt)).astype(np.float32) * Ht,
+                     rng.random((Ht, Wt)).astype(np.float32) * Wt),
+    }
+    k = 512
+    for name, (pfy, pfx) in fields.items():
+        pfy = jnp.asarray(pfy, jnp.float32)
+        pfx = jnp.asarray(pfx, jnp.float32)
+        outs = {}
+        stats = {}
+        for impl in ("switch", "steady_cond", "steady_only"):
+            c = cfg.replace(warp_tier_impl=impl).validate()
+            outs[impl], stats[impl] = jax.jit(
+                lambda *a, c=c: warp_blend_pallas(c, *a, fixup_k=k))(
+                    stacked, cur6, pfx, pfy)
+        # scenario sanity: the fields hit the intended tiers
+        n_unc = int(stats["switch"][0])
+        if name == "kernel":
+            assert n_unc <= k // 2, n_unc
+        elif name == "fixup":
+            assert k // 2 < n_unc <= 4 * k, n_unc
+        else:
+            assert n_unc > 4 * k, n_unc
+        base = np.asarray(outs["switch"])
+        np.testing.assert_array_equal(
+            np.asarray(outs["steady_cond"]), base,
+            err_msg=f"steady_cond diverges on {name}")
+        if name == "kernel":
+            # steady_only is exact only within the steady capacity
+            # (k//2) — that's why it's measurement-only
+            np.testing.assert_array_equal(
+                np.asarray(outs["steady_only"]), base,
+                err_msg=f"steady_only diverges on {name}")
