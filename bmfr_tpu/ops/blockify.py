@@ -67,26 +67,29 @@ def jitter_offset(frame, block_edge=32):
     return table[jnp.mod(frame, table.shape[0])]
 
 
-def blockify_padded(cfg, planes, width=None):
+def blockify_padded(cfg, planes, width=None, slack=(0, 0)):
     """Mirror pad ONLY — no jitter slice. Returns ``(padded, tw)``.
 
-    The planes-direct fitter DMAs its 32-row tiles straight from HBM at
-    dynamic origins (unaligned origins are free on this hardware —
-    scripts/probe_dma_align.py), so the per-frame jitter can ride the
-    DMA origin instead of materializing a second 36 MB view copy
-    (``lax.dynamic_slice`` here measured 0.12 ms/frame,
-    docs/PERF_NOTES.md round 3). ``tw`` is the view width the consumer
-    must fetch (equal to ``width`` unless the image is too small for the
-    mirror to reach, in which case the caller must fall back to
-    :func:`blockify_view` + constant pad)."""
+    The planes-direct fitter DMAs its 32-row tiles straight from HBM
+    with the per-frame jitter riding the (8, 128)-aligned-down DMA
+    origin (Mosaic requires provably aligned dynamic origins —
+    scripts/probe_dma_align.py), instead of materializing a second
+    36 MB view copy (``lax.dynamic_slice`` here measured 0.12 ms/frame,
+    docs/PERF_NOTES.md round 3). ``slack``: extra (rows, cols) of hi
+    padding covering the consumer's alignment-enlarged fetch windows
+    (``fitter_direct.DMA_SLACK``). ``tw`` is the view width the
+    consumer must fetch (equal to ``width`` unless the image is too
+    small for the mirror to reach, in which case the caller must fall
+    back to :func:`blockify_view` + constant pad)."""
     C, H, W = planes.shape
     half = cfg.block_edge // 2
     mw = cfg.workset_with_margins_width
     tw = width or mw
     pad_lo, pad_hi_x, pad_hi_y = _pads(cfg)
-    if pad_hi_x + (tw - mw) + half > W:
+    if pad_hi_x + (tw - mw) + half + slack[1] > W:
         tw = mw
-    pad_hi_x = pad_hi_x + (tw - mw)
+    pad_hi_x = pad_hi_x + (tw - mw) + slack[1]
+    pad_hi_y = pad_hi_y + slack[0]
     padded = jnp.pad(
         planes, ((0, 0), (pad_lo, pad_hi_y), (pad_lo, pad_hi_x)),
         mode="symmetric")

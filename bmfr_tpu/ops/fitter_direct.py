@@ -54,6 +54,15 @@ LANES = CHUNK * 32
 #: export rows: buffer_count (13) padded to the 8-aligned DMA tiling
 _EXPORT_ROWS = 16
 
+#: Fetch slack of the jitter-origin DMA path: Mosaic requires dynamic
+#: copy origins provably (8, 128)-aligned and (8, 128)-multiple sizes
+#: (scripts/probe_dma_align.py), so the kernel fetches
+#: ``[be + 8, LANES + 128]`` windows from the aligned-down origin and
+#: removes the residual with two in-kernel rolls. The jitter origins
+#: are in [0, 30] at defaults (blockify.jitter_origin), so the row
+#: residual is < 8 and the lane residual < 128 always.
+DMA_SLACK = (8, 128)
+
 
 def _pads_for_direct(cfg):
     """Lane padding of the jittered view to whole chunks."""
@@ -66,22 +75,28 @@ def _norm_view_origin(cfg, view9, origin, mw_pad):
     """Normalize the (view, origin) calling contract.
 
     ``origin=None``: ``view9`` is the pre-sliced jittered view
-    (``blockify_view``), fetched from (0, 0) — constant-pad ragged lane
-    columns as before. Otherwise ``view9`` is the mirror-padded planes
-    (``blockify_padded``) and ``origin`` the ``jitter_origin`` i32[2];
-    the jitter becomes a tile DMA-origin offset (no view copy)."""
+    (``blockify_view``), fetched from (0, 0) with exact static tile
+    origins — constant-pad ragged lane columns as before. Returns
+    ``(view9, org4, rolled=False)`` with ``org4`` zeros.
+
+    Otherwise ``view9`` is the mirror-padded planes (``blockify_padded``
+    with ``slack=DMA_SLACK``) and ``origin`` the ``jitter_origin``
+    i32[2]; the jitter rides the tile DMA origins, aligned down to
+    (8, 128) with the residual removed by in-kernel rolls. Returns
+    ``(view9, org4, rolled=True)`` where ``org4`` is
+    ``[oy_aligned, ox_aligned, row_resid, lane_resid]``."""
     nby = cfg.blocks_y
     if origin is None:
         if view9.shape[2] != mw_pad:
             view9 = jnp.pad(
                 view9, ((0, 0), (0, 0), (0, mw_pad - view9.shape[2])),
                 constant_values=1.0)
-        origin = jnp.zeros((2,), jnp.int32)
-    else:
-        assert view9.shape[1] >= nby * cfg.block_edge and \
-            view9.shape[2] >= mw_pad, (view9.shape, mw_pad)
-        origin = origin.astype(jnp.int32)
-    return view9, origin
+        return view9, jnp.zeros((4,), jnp.int32), False
+    assert view9.shape[1] >= nby * cfg.block_edge + DMA_SLACK[0] and \
+        view9.shape[2] >= mw_pad + DMA_SLACK[1], (view9.shape, mw_pad)
+    origin = origin.astype(jnp.int32)
+    org_al = origin & ~jnp.asarray([7, 127], jnp.int32)
+    return view9, jnp.concatenate([org_al, origin - org_al]), True
 
 
 def _seg_reduce(x, op, be):
@@ -175,8 +190,43 @@ def _build_block_data(cfg, raw, noise_vmem, want_basis, r_iota_unused=None):
     return data, basis, rmin, rmax
 
 
-def _qr_kernel(cfg, n_chunks, ncx, reconstruct, org_smem, src_hbm,
-               noise_vmem, *refs):
+def _dma_in(rolled, ncx, be, org_smem, src_hbm, x2, sem_i, i, slot):
+    """Input window DMA of one ``[9, be, LANES]`` chunk (shared by the
+    QR and Cholesky kernels). With ``rolled``, the per-frame jitter
+    rides the DMA origin: the fetch starts at the (8, 128)-aligned-down
+    origin with a ``DMA_SLACK``-enlarged shape — Mosaic rejects dynamic
+    origins it cannot prove aligned (scripts/probe_dma_align.py) — and
+    :func:`_unroll_window` removes the residual in VMEM, so the caller
+    never materializes the 36 MB jittered view copy."""
+    by = i // ncx
+    cx = i % ncx
+    if rolled:
+        src = src_hbm.at[
+            :, pl.ds(pl.multiple_of(org_smem[0] + by * be, 8),
+                     be + DMA_SLACK[0]),
+            pl.ds(pl.multiple_of(org_smem[1] + cx * LANES, 128),
+                  LANES + DMA_SLACK[1])]
+    else:
+        src = src_hbm.at[:, pl.ds(by * be, be),
+                         pl.ds(cx * LANES, LANES)]
+    return pltpu.make_async_copy(src, x2.at[slot], sem_i.at[slot])
+
+
+def _unroll_window(rolled, be, org_smem, x2, slot):
+    """Remove the DMA alignment residual: two in-kernel rolls + slice
+    (no-op on the exact static-origin path)."""
+    raw = x2[slot]
+    if not rolled:
+        return raw                                      # [9, be, LANES]
+    rows = be + DMA_SLACK[0]
+    lanes = LANES + DMA_SLACK[1]
+    raw = pltpu.roll(raw, shift=rows - org_smem[2], axis=1)
+    raw = pltpu.roll(raw, shift=lanes - org_smem[3], axis=2)
+    return raw[:, :be, :LANES]
+
+
+def _qr_kernel(cfg, n_chunks, ncx, reconstruct, rolled, org_smem,
+               src_hbm, noise_vmem, *refs):
     if reconstruct:
         (recon_hbm, x2, fstage, sem_i, sem_f) = refs
     else:
@@ -198,18 +248,8 @@ def _qr_kernel(cfg, n_chunks, ncx, reconstruct, org_smem, src_hbm,
     def blocksum(m):
         return jnp.dot(m, G, preferred_element_type=jnp.float32)
 
-    def dma_in(i, slot):
-        # the per-frame jitter rides the DMA origin (org_smem — the
-        # jitter_origin of the mirror-padded planes; exact unaligned
-        # origins are free, scripts/probe_dma_align.py), so the caller
-        # never materializes the jittered view copy
-        by = i // ncx
-        cx = i % ncx
-        return pltpu.make_async_copy(
-            src_hbm.at[:, pl.ds(org_smem[0] + by * be, be),
-                       pl.ds(org_smem[1] + cx * LANES, LANES)],
-            x2.at[slot], sem_i.at[slot])
-
+    dma_in = functools.partial(_dma_in, rolled, ncx, be, org_smem,
+                               src_hbm, x2, sem_i)
     dma_in(0, 0).start()
 
     def body(i, _):
@@ -220,7 +260,7 @@ def _qr_kernel(cfg, n_chunks, ncx, reconstruct, org_smem, src_hbm,
             dma_in(i + 1, 1 - slot).start()
 
         dma_in(i, slot).wait()
-        raw = x2[slot]                                  # [9, be, LANES]
+        raw = _unroll_window(rolled, be, org_smem, x2, slot)
         data, basis, rmin, rmax = _build_block_data(
             cfg, raw, noise_vmem, want_basis=reconstruct)
         if not reconstruct:
@@ -324,7 +364,9 @@ def fit_blocks_direct(cfg, view9, frame, interpret=None, origin=None):
     nby = cfg.blocks_y
     nbx = cfg.blocks_x
     nbx_pad, mw_pad = _pads_for_direct(cfg)
-    view9, origin = _norm_view_origin(cfg, view9, origin, mw_pad)
+    view9, origin, rolled = _norm_view_origin(cfg, view9, origin, mw_pad)
+    in_shape = ((2, 9, be + DMA_SLACK[0], LANES + DMA_SLACK[1])
+                if rolled else (2, 9, be, LANES))
 
     # lane-tiled noise: noise[f, e] lives at (sublane e//be, lane e%be)
     # in every block segment (bmfr.cl:89-97, :625-627)
@@ -338,7 +380,8 @@ def fit_blocks_direct(cfg, view9, frame, interpret=None, origin=None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    kernel = functools.partial(_qr_kernel, cfg, n_chunks, ncx, False)
+    kernel = functools.partial(_qr_kernel, cfg, n_chunks, ncx, False,
+                               rolled)
     reduced, mm = pl.pallas_call(
         kernel,
         out_shape=[
@@ -348,12 +391,15 @@ def fit_blocks_direct(cfg, view9, frame, interpret=None, origin=None):
                                  jnp.float32),
         ],
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pl.ANY),
+                  # HBM-pinned: under pl.ANY Mosaic may promote the
+                  # 46 MB source into VMEM, where the dynamic-origin
+                  # window DMA cannot lower
+                  pl.BlockSpec(memory_space=pltpu.HBM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((2, 9, be, LANES), jnp.float32),
+            pltpu.VMEM(in_shape, jnp.float32),
             pltpu.VMEM((_EXPORT_ROWS, LANES), jnp.float32),
             pltpu.VMEM((_EXPORT_ROWS, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -406,7 +452,9 @@ def fit_reconstruct_direct(cfg, view9, frame, interpret=None,
     be = cfg.block_edge
     nby = cfg.blocks_y
     nbx_pad, mw_pad = _pads_for_direct(cfg)
-    view9, origin = _norm_view_origin(cfg, view9, origin, mw_pad)
+    view9, origin, rolled = _norm_view_origin(cfg, view9, origin, mw_pad)
+    in_shape = ((2, 9, be + DMA_SLACK[0], LANES + DMA_SLACK[1])
+                if rolled else (2, 9, be, LANES))
 
     noise = feature_noise(frame, F, cfg.block_pixels, B,
                           cfg.noise_amount)              # [F, bp]
@@ -418,17 +466,21 @@ def fit_reconstruct_direct(cfg, view9, frame, interpret=None,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    kernel = functools.partial(_qr_kernel, cfg, n_chunks, ncx, True)
+    kernel = functools.partial(_qr_kernel, cfg, n_chunks, ncx, True,
+                               rolled)
     recon = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((3, nby * be, mw_pad),
                                        jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pl.ANY),
+                  # HBM-pinned: under pl.ANY Mosaic may promote the
+                  # 46 MB source into VMEM, where the dynamic-origin
+                  # window DMA cannot lower
+                  pl.BlockSpec(memory_space=pltpu.HBM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, 9, be, LANES), jnp.float32),
+            pltpu.VMEM(in_shape, jnp.float32),
             pltpu.VMEM((3, be, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
@@ -440,8 +492,8 @@ def fit_reconstruct_direct(cfg, view9, frame, interpret=None,
     return recon
 
 
-def _chol_kernel(cfg, n_chunks, ncx, org_smem, src_hbm, noise_vmem,
-                 recon_hbm, x2, fstage, sem_i, sem_f):
+def _chol_kernel(cfg, n_chunks, ncx, rolled, org_smem, src_hbm,
+                 noise_vmem, recon_hbm, x2, fstage, sem_i, sem_f):
     """Fused K2+K3 with the normal-equations solver: Gram + rhs via
     indicator matmuls (MXU), a lane-parallel 13x13 Cholesky on [CHUNK]-
     wide per-block scalars, and the in-VMEM reconstruction — the
@@ -458,15 +510,8 @@ def _chol_kernel(cfg, n_chunks, ncx, org_smem, src_hbm, noise_vmem,
     G = (lane // be == bcol).astype(jnp.float32)        # [LANES, CHUNK]
     GT = G.T                                            # [CHUNK, LANES]
 
-    def dma_in(i, slot):
-        # jitter rides the DMA origin, as in _qr_kernel
-        by = i // ncx
-        cx = i % ncx
-        return pltpu.make_async_copy(
-            src_hbm.at[:, pl.ds(org_smem[0] + by * be, be),
-                       pl.ds(org_smem[1] + cx * LANES, LANES)],
-            x2.at[slot], sem_i.at[slot])
-
+    dma_in = functools.partial(_dma_in, rolled, ncx, be, org_smem,
+                               src_hbm, x2, sem_i)
     dma_in(0, 0).start()
 
     def body(i, _):
@@ -477,7 +522,7 @@ def _chol_kernel(cfg, n_chunks, ncx, org_smem, src_hbm, noise_vmem,
             dma_in(i + 1, 1 - slot).start()
 
         dma_in(i, slot).wait()
-        raw = x2[slot]                                  # [9, be, LANES]
+        raw = _unroll_window(rolled, be, org_smem, x2, slot)
         data, basis, _rmin, _rmax = _build_block_data(
             cfg, raw, noise_vmem, want_basis=True)
 
@@ -559,7 +604,9 @@ def fit_reconstruct_cholesky(cfg, view9, frame, interpret=None,
     be = cfg.block_edge
     nby = cfg.blocks_y
     nbx_pad, mw_pad = _pads_for_direct(cfg)
-    view9, origin = _norm_view_origin(cfg, view9, origin, mw_pad)
+    view9, origin, rolled = _norm_view_origin(cfg, view9, origin, mw_pad)
+    in_shape = ((2, 9, be + DMA_SLACK[0], LANES + DMA_SLACK[1])
+                if rolled else (2, 9, be, LANES))
 
     noise = feature_noise(frame, F, cfg.block_pixels, B,
                           cfg.noise_amount)              # [F, bp]
@@ -571,17 +618,20 @@ def fit_reconstruct_cholesky(cfg, view9, frame, interpret=None,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    kernel = functools.partial(_chol_kernel, cfg, n_chunks, ncx)
+    kernel = functools.partial(_chol_kernel, cfg, n_chunks, ncx, rolled)
     recon = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((3, nby * be, mw_pad),
                                        jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pl.ANY),
+                  # HBM-pinned: under pl.ANY Mosaic may promote the
+                  # 46 MB source into VMEM, where the dynamic-origin
+                  # window DMA cannot lower
+                  pl.BlockSpec(memory_space=pltpu.HBM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, 9, be, LANES), jnp.float32),
+            pltpu.VMEM(in_shape, jnp.float32),
             pltpu.VMEM((3, be, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,

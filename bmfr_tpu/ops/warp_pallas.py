@@ -45,14 +45,15 @@ caller's unpack/mask logic is shared verbatim with the XLA packed mode.
 Mosaic facts this kernel is built on (measured; scripts/probe_v5.py,
 scripts/probe_dma_align.py, docs/PERF_NOTES.md): grid steps cost ~37 us
 (hence one invocation with a ``fori_loop`` over tiles at ~1.3 us each);
-HBM->VMEM copy origins may be *unaligned* in both axes at no measured
-cost penalty (probe_dma_align.py; the v4 kernel fetches each window at
-its exact origin — the old "wrap offsets in ``pl.multiple_of``,
-8-align sublanes / 128-align lanes" rule was a v3-era conservatism
-whose slack cost 25% extra window DMA plus two in-kernel rolls);
-two-axis dynamic DMA offsets work; ``pltpu.roll`` accepts traced
-shifts; ``lax.switch`` on an SMEM scalar selects between unrolled
-bodies.
+dynamic HBM->VMEM copy origins MUST be provably (8, 128)-aligned — wrap
+them in ``pl.multiple_of`` — and dynamic-origin slice sizes must be
+(8, 128)-multiples; Mosaic rejects anything else at compile time
+(probe_dma_align.py — a round-3 "v4" kernel briefly used exact
+unaligned origins based on a dead-code-eliminated measurement of that
+probe and never compiled on hardware; the alignment slack is instead
+removed with two in-kernel rolls); two-axis dynamic DMA offsets work;
+``pltpu.roll`` accepts traced shifts; ``lax.switch`` on an SMEM scalar
+selects between unrolled bodies.
 """
 
 from __future__ import annotations
@@ -495,24 +496,25 @@ def _mask_bits(iy, ix, H, W):
     return bits
 
 
-#: Select-depth phases (KY, KX, rows live in the fetched window): tiles
-#: are classed into the smallest phase whose depths cover their per-tile
-#: selector spread. Measured on real orbit fields
-#: (scripts/probe_spread.py): (4,8) fits ~47% of tiles, (8,12) ~82%,
-#: (16,20) all. Mosaic flattens data-dependent vector branches, so
-#: depth adaptivity lives in three sequential fori phases over a
-#: class-sorted tile list, inside ONE pallas_call (uniform window DMA
-#: keeps one global prefetch chain).
-DEPTH_PHASES = ((4, 8, 24), (8, 12, 32), (16, 20, 40))
+#: Select-depth phases (KY, KX, roll-window rows): tiles are classed
+#: into the smallest phase whose depths cover their per-tile selector
+#: spread. Measured on real orbit fields (scripts/probe_spread.py):
+#: (4,8) fits ~47% of tiles, (8,12) ~82%, (16,20) all. Mosaic flattens
+#: data-dependent vector branches, so depth adaptivity lives in three
+#: sequential fori phases over a class-sorted tile list, inside ONE
+#: pallas_call (uniform window DMA keeps one global prefetch chain).
+DEPTH_PHASES = ((4, 8, 32), (8, 12, 32), (16, 20, 40))
 
-#: Uniform per-tile window rows DMA'd: TH + KY_max + row1 slot, ceil 8.
-#: The DMA origin is the tile's EXACT selector minimum — Mosaic takes
-#: unaligned HBM origins — so no alignment slack is fetched and the
-#: in-kernel rolls of the v3 kernel are gone.
+#: Uniform per-tile window rows DMA'd: TH + KY_max + row1 slot + 7 roll
+#: slack, ceil to 8. Mosaic REJECTS dynamic copy origins it cannot
+#: prove (8, 128)-aligned — measured, scripts/probe_dma_align.py (the
+#: v4 "exact unaligned origins" kernel never compiled on hardware; its
+#: probe's kernel output was dead-code-eliminated) — so origins are
+#: aligned down and the slack removed with two in-kernel rolls.
 WH3 = 40
 
-#: Window lane extent: TC + KX_max + x+1 slot = 277 live lanes; 3 lane
-#: groups hold them (was 512 with 128-aligned origins + lane rolls).
+#: Stage-1 lane extent: after the in-kernel rolls only lanes
+#: [0, TC + KX_max + 1) = 277 are live; 3 lane groups hold them.
 W1 = 384
 
 #: Top padding of the fused kernel's source in rows (b >= -1 and
@@ -524,19 +526,20 @@ def padded_src_shape(H, W):
     """(Hp, Wp) of the fused kernel's padded ch-pair source layout.
     A recurrent state carried in this layout (pipeline PackedState)
     skips the per-frame 41 MB pad entirely. Wp covers the largest
-    exact window origin (xo <= W - 1) plus the W1-lane fetch."""
+    128-aligned window origin plus the TW-lane fetch."""
     return (_ceil(P_T3 + H + WH3, 8),
-            _ceil(P_L + max(W, TC) + W1 - 1, 128))
+            _ceil(P_L + max(W, TC) + TW - 128, 128))
 
 
 class _BlendPlan(NamedTuple):
     """Static geometry + per-frame tensors for the fused blend kernel."""
 
     src_pad: jnp.ndarray    # [8, Hp, Wp] i32 ch-pair packed, zero-padded
-    sel_u: jnp.ndarray      # [NT*TH, W1] i32 claim map (window lanes)
+    sel_u: jnp.ndarray      # [NT*TH, TW] i32 claim map (window lanes)
     sel_rest: jnp.ndarray   # [NT*4*TH, TC] i32: t, fx, fy, bits rows
-    wo: jnp.ndarray         # [NT] i32 exact window row origins
-    xo: jnp.ndarray         # [NT] i32 exact window lane DMA origins
+    wo: jnp.ndarray         # [NT] i32 window row origins (8-aligned)
+    raxo: jnp.ndarray       # [2*NT] i32: lane rolls [0,128) ; DMA origins
+    resid: jnp.ndarray      # [NT] i32 sublane rolls [0, 8)
     order: jnp.ndarray      # [NT] i32 tiles sorted by depth class
     bounds: jnp.ndarray     # [4] i32 phase partition of `order`
     uncovered: jnp.ndarray  # [H, W] bool
@@ -585,11 +588,16 @@ def _plan_blend(src8, iy, ix, fx, fy, bits):
         m = jnp.min(x.reshape(NT, -1), axis=1)
         return jnp.where(m >= _BIG, 0, m)
 
-    # exact origins — the DMA takes unaligned HBM starts, so the
-    # selectors are relative to the true per-tile minima and the
-    # kernel needs no rolls
-    dmin = jnp.clip(tmin(dt), 0, Hp - WH3)            # [NT]
-    xo = jnp.clip(tmin(dxt), -P_L, Wp - P_L - W1)
+    # selectors are relative to the true per-tile minima; the DMA
+    # origins are aligned down to (8, 128) — Mosaic rejects dynamic
+    # origins it cannot prove aligned (probe_dma_align.py) — and the
+    # kernel removes the slack with two rolls
+    dmin = tmin(dt)                                   # [NT]
+    wo = jnp.clip(dmin & ~i32(7), 0, Hp - WH3)
+    resid = dmin - wo                                 # [0, 7]
+    xo = jnp.clip(tmin(dxt), -P_L, Wp - P_L - TW)
+    xo128 = jnp.clip(xo & ~i32(127), -P_L, Wp - P_L - TW)
+    ra = xo - xo128                                   # [0, 127]
 
     dmin_t = dmin[:, None, None]
     xo_t = xo[:, None, None]
@@ -641,8 +649,8 @@ def _plan_blend(src8, iy, ix, fx, fy, bits):
     z = jnp.zeros((), i32)
     bounds = jnp.stack([z, counts[0], counts[0] + counts[1], i32(NT)])
 
-    sel_u = jnp.pad(u, ((0, 0), (0, 0), (0, W1 - SW)),
-                    constant_values=-1).reshape(NT * TH, W1)
+    sel_u = jnp.pad(u, ((0, 0), (0, 0), (0, TW - SW)),
+                    constant_values=-1).reshape(NT * TH, TW)
     t_sel = jnp.where(served, t, -1)
     fx_t = jax.lax.bitcast_convert_type(_tiles(fx, nty, ntx, 0.0),
                                         jnp.int32)
@@ -660,9 +668,9 @@ def _plan_blend(src8, iy, ix, fx, fy, bits):
         src_pad = src8
 
     return _BlendPlan(
-        src_pad=src_pad, sel_u=sel_u, sel_rest=sel_rest,
-        wo=dmin.astype(i32), xo=(xo + P_L).astype(i32),
-        order=order, bounds=bounds,
+        src_pad=src_pad, sel_u=sel_u, sel_rest=sel_rest, wo=wo,
+        raxo=jnp.concatenate([ra, (xo128 + P_L)]).astype(i32),
+        resid=resid.astype(i32), order=order, bounds=bounds,
         uncovered=uncovered, n_uncovered=n_uncovered, counts=counts)
 
 
@@ -676,33 +684,34 @@ def _unpack_ch_pairs(o):
 
 
 def _blend_kernel3(cfg, nty, ntx,
-                   bounds_ref, tiles_ref, wo_ref, xo_ref,
+                   bounds_ref, tiles_ref, wo_ref, raxo_ref, resid_ref,
                    src_hbm, selu_hbm, selr_hbm, cur_hbm, out_hbm,
                    win2, selu2, selr2, cur2, stage,
                    sem_w, sem_u, sem_r, sem_c, sem_o):
     """The fused warp+blend kernel: one invocation, three sequential
     select-depth phases over the class-sorted tile list, double-buffered
     input DMAs with one prefetch chain crossing phase boundaries (the
-    window DMA shape is uniform; only the select extents differ per
-    phase). Per tile: the window DMA starts at the tile's EXACT selector
-    minima (unaligned HBM origins — no alignment slack, no rolls), KY
-    shifted-sublane selects resolve the source row (row1 rides as the
-    k+1 slice; the x+1 claims use the one-lane-shifted map), KX shifted-
-    lane selects resolve the column, then the unpacked taps run
-    :func:`blend_from_taps` in-VMEM and a double-buffered DMA stores the
-    13 planes.
+    window DMA shape is uniform; only the roll/select extents differ per
+    phase). Per tile: the window DMA starts at the tile's selector
+    minima aligned down to (8, 128) (Mosaic rejects dynamic origins it
+    cannot prove aligned — probe_dma_align.py), two dynamic rolls remove
+    the alignment slack, KY shifted-sublane selects resolve the source
+    row (row1 rides as the k+1 slice; the x+1 claims use the one-lane-
+    shifted map), KX shifted-lane selects resolve the column, then the
+    unpacked taps run :func:`blend_from_taps` in-VMEM and a double-
+    buffered DMA stores the 13 planes.
     """
     NT = nty * ntx
 
     def dmas(k, slot):
         i = tiles_ref[k]
-        wo = wo_ref[i]
-        xo = xo_ref[i]
+        wo = pl.multiple_of(wo_ref[i], 8)
+        xo = pl.multiple_of(raxo_ref[NT + i], 128)
         ty = i // ntx
         tx = i % ntx
         return (
             pltpu.make_async_copy(
-                src_hbm.at[:, pl.ds(wo, WH3), pl.ds(xo, W1)],
+                src_hbm.at[:, pl.ds(wo, WH3), pl.ds(xo, TW)],
                 win2.at[slot], sem_w.at[slot]),
             pltpu.make_async_copy(
                 selu_hbm.at[pl.ds(i * TH, TH), :],
@@ -731,9 +740,14 @@ def _blend_kernel3(cfg, nty, ntx,
                 d.wait()
 
             i = tiles_ref[k]
-            winr = win2[slot, :, :whp, :]
+            ra = raxo_ref[i]
+            rs = resid_ref[i]
+            winr = pltpu.roll(win2[slot, :, :whp, :], shift=TW - ra,
+                              axis=2)
+            winr = pltpu.roll(winr, shift=whp - rs, axis=1)
+            winr = winr[:, :, :W1]
 
-            u = selu2[slot]
+            u = selu2[slot, :, :W1]
             lane = jax.lax.broadcasted_iota(jnp.int32, (TH, W1), 1)
             u2 = jnp.where(lane == 0, -1, pltpu.roll(u, shift=1, axis=1))
             u = u[None]
@@ -853,8 +867,8 @@ def warp_blend_pallas(cfg, stacked, cur6, pfx, pfy, *, src8=None,
 
     kernel = functools.partial(_blend_kernel3, cfg, nty, ntx)
     scratch = [
-        pltpu.VMEM((2, 8, WH3, W1), jnp.int32),
-        pltpu.VMEM((2, TH, W1), jnp.int32),
+        pltpu.VMEM((2, 8, WH3, TW), jnp.int32),
+        pltpu.VMEM((2, TH, TW), jnp.int32),
         pltpu.VMEM((2, 4 * TH, TC), jnp.int32),
         pltpu.VMEM((2, 6, TH, TC), jnp.float32),
         pltpu.VMEM((2, BLEND_PLANES, TH, TC), jnp.float32),
@@ -873,13 +887,13 @@ def warp_blend_pallas(cfg, stacked, cur6, pfx, pfy, *, src8=None,
         out = pl.pallas_call(
             kernel,
             out_shape=out_shape,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 5
             + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=scratch,
             compiler_params=params,
             interpret=interpret,
-        )(plan.bounds, plan.order, plan.wo, plan.xo,
+        )(plan.bounds, plan.order, plan.wo, plan.raxo, plan.resid,
           plan.src_pad, plan.sel_u, plan.sel_rest, cur_pad)
         blended = out[:, :H, :W]
 

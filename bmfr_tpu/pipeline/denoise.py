@@ -187,7 +187,7 @@ def denoise_frame(cfg, state, inputs: FrameInputs,
     elif direct:
         from ..ops.blockify import (blockify_padded, blockify_view,
                                     jitter_offset, jitter_origin)
-        from ..ops.fitter_direct import (_pads_for_direct,
+        from ..ops.fitter_direct import (DMA_SLACK, _pads_for_direct,
                                          fit_reconstruct_cholesky,
                                          fit_reconstruct_direct)
         fit_reconstruct = (fit_reconstruct_cholesky
@@ -203,7 +203,8 @@ def denoise_frame(cfg, state, inputs: FrameInputs,
             # (0.12 ms/frame) never materializes.
             raw9 = jnp.concatenate(
                 [inputs.normals, inputs.positions, k1["accum"]], axis=0)
-            padded9, tw = blockify_padded(cfg, raw9, width=mw_pad)
+            padded9, tw = blockify_padded(cfg, raw9, width=mw_pad,
+                                          slack=DMA_SLACK)
             if tw == mw_pad:
                 origin = jitter_origin(cfg, frame)
             else:

@@ -99,9 +99,16 @@ def run_case(name, src, wo, xo, NT, WH, TW, align):
     )
 
     def loop(n, wo, xo, src):
+        # the kernel result must feed the carry LIVE: an `o[0,0] * 0`
+        # dependence lets XLA dead-code-eliminate the pallas_call, and
+        # the "measurement" then times an empty loop — this probe's
+        # original version did exactly that, which is how the v4
+        # unaligned-origin kernels shipped without ever compiling on a
+        # real TPU (round-4 postmortem; Mosaic in fact REJECTS dynamic
+        # sublane origins it cannot prove 8-aligned)
         def it(j, acc):
             o = f(wo + (acc % 2), xo + (acc % 2), src)
-            return acc + o[0, 0] * 0 + 1
+            return acc + (o[0, 0] & 1)
         return jax.lax.fori_loop(0, n, it, jnp.int32(0))
 
     try:

@@ -154,7 +154,7 @@ def test_origin_mode_matches_sliced_view(tiny_cfg, solver):
     jittered view) must be bit-identical to the pre-sliced
     blockify_view path."""
     from bmfr_tpu.ops.blockify import blockify_padded, jitter_origin
-    from bmfr_tpu.ops.fitter_direct import (_pads_for_direct,
+    from bmfr_tpu.ops.fitter_direct import (DMA_SLACK, _pads_for_direct,
                                             fit_reconstruct_cholesky,
                                             fit_reconstruct_direct)
 
@@ -169,7 +169,8 @@ def test_origin_mode_matches_sliced_view(tiny_cfg, solver):
     raw9 = jnp.asarray(rng.standard_normal(
         (9, cfg.image_height, cfg.image_width)).astype(np.float32))
     mw_pad = _pads_for_direct(cfg)[1]
-    padded9, tw = blockify_padded(cfg, raw9, width=mw_pad)
+    padded9, tw = blockify_padded(cfg, raw9, width=mw_pad,
+                                  slack=DMA_SLACK)
     assert tw == mw_pad, (tw, mw_pad)
     for frame in (0, 3):
         f = jnp.int32(frame)
