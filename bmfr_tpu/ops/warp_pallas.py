@@ -897,31 +897,35 @@ def warp_blend_pallas(cfg, stacked, cur6, pfx, pfy, *, src8=None,
           plan.src_pad, plan.sel_u, plan.sel_rest, cur_pad)
         blended = out[:, :H, :W]
 
-    def bc_i32(v):
-        return jax.lax.bitcast_convert_type(v, jnp.int32)
-
-    def bc_f32(v):
-        return jax.lax.bitcast_convert_type(v, jnp.float32)
+    # the reprojected-coordinate pair, gathered at the fix-up points
+    # and used to RECOMPUTE iy/ix/fx/fy/bits there (round-4 xplane
+    # attribution: gathering the 5 precomputed aux planes cost 0.61
+    # ms/frame, almost all of it the per-plane reshape(1,-1) relayouts
+    # feeding the aux concat — the point-local recompute is identical
+    # math on [k] vectors and needs only this 7 MB stack)
+    pfxy = jnp.stack([pfx, pfy], axis=0)
 
     def make_fixup(k):
-        # Compact fix-up at capacity ``k``: ONE rider-stacked gather for
-        # every per-pixel auxiliary (gather cost is per op, riders ~free
-        # — docs/PERF_NOTES.md), one gather over the 4 concatenated tap
-        # index sets, exact bf16-identical blend, sorted scatter over
-        # the kernel output.
+        # Compact fix-up at capacity ``k``: 2-D point gathers of the
+        # reprojection pair + cur6 (gather cost is per op, riders ~free
+        # — docs/PERF_NOTES.md), aux recomputed at the points, one
+        # gather over the 4 concatenated tap index sets, exact
+        # bf16-identical blend, sorted 2-D scatter straight into the
+        # [13, H, W] kernel output (no 48 MB flatten round-trip).
         def fixup(_):
+            from .gather import floor_int
             with jax.named_scope("warp_fixup_compact"):
                 idx, _ = compact_indices(plan.uncovered.ravel(), k)
             with jax.named_scope("warp_fixup"):
-                aux = jnp.concatenate([
-                    iy.reshape(1, -1), ix.reshape(1, -1),
-                    bits.reshape(1, -1), bc_i32(fx).reshape(1, -1),
-                    bc_i32(fy).reshape(1, -1),
-                    bc_i32(cur6).reshape(6, -1)], axis=0)
-                a = aux[:, idx]                       # [11, k]
-                iyk, ixk, bitsk = a[0], a[1], a[2]
-                fxk, fyk = bc_f32(a[3]), bc_f32(a[4])
-                cur6k = bc_f32(a[5:11])
+                yk = idx // W
+                xk = idx - yk * W
+                pfk = pfxy[:, yk, xk]                 # [2, k]
+                ixk = floor_int(pfk[0])
+                iyk = floor_int(pfk[1])
+                fxk = pfk[0] - ixk.astype(jnp.float32)
+                fyk = pfk[1] - iyk.astype(jnp.float32)
+                bitsk = _mask_bits(iyk, ixk, H, W)
+                cur6k = cur6[:, yk, xk]               # [6, k]
                 # taps come from the padded source (so the unpadded
                 # pack has no consumers and its pad fuses away)
                 Hp, Wp = plan.src_pad.shape[1:]
@@ -938,9 +942,12 @@ def warp_blend_pallas(cfg, stacked, cur6, pfx, pfy, *, src8=None,
                     cfg, tv[0], tv[1], tv[2], tv[3], cur6k,
                     bitsk, fxk, fyk)
             with jax.named_scope("warp_fixup_scatter"):
-                return (blended.reshape(BLEND_PLANES, H * W)
-                        .at[:, idx].set(fix, indices_are_sorted=True)
-                        .reshape(BLEND_PLANES, H, W))
+                # idx is sorted, so (yk, xk) is lexicographically
+                # sorted; overflow ranks pad with pixel n-1 — duplicate
+                # indices, but every duplicate writes the identical
+                # recomputed value, so set() is order-independent
+                return blended.at[:, yk, xk].set(
+                    fix, indices_are_sorted=True)
         return fixup
 
     def full_fallback(_):

@@ -1,6 +1,11 @@
-"""Hardware check of the v4 exact-origin warp kernel: does Mosaic
-accept unaligned HBM window DMA origins, and is the fused output still
-bit-identical to the packed-gather reference on real fields?"""
+"""Hardware check of the fused warp kernel: does it compile on the
+real TPU and is the fused output bit-identical to the packed-gather
+reference on real reprojection fields? (Named for the round-3 'v4'
+exact-origin kernel it was written to validate; that kernel turned out
+NOT to compile — Mosaic rejects unaligned dynamic DMA origins — and the
+shipped kernel is back to aligned origins + in-kernel rolls. This check
+is version-neutral and remains the fastest whole-kernel hardware
+smoke.)"""
 
 from __future__ import annotations
 

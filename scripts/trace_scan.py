@@ -71,9 +71,42 @@ def main():
         if smap.get(inst) is None and not any(
                 s in op_text for s in xplane.STAGE_SCOPES):
             agg[op_text[:140]] = agg.get(op_text[:140], 0.0) + dur / 1e9
+    # map instruction name -> HLO metadata (source op + file:line) so
+    # the unattributed copies/pads name the jaxpr op that produced them
+    import re
+    meta = {}
+    for m in re.finditer(
+            r"%?([\w.\-]+)\s*=[^\n]*metadata=\{([^}]*)\}", hlo):
+        inst, md = m.group(1), m.group(2)
+        on = re.search(r'op_name="([^"]*)"', md)
+        sf = re.search(r'source_file="([^"]*)"', md)
+        sl = re.search(r"source_line=(\d+)", md)
+        meta[inst] = (f"{on.group(1) if on else '?'} "
+                      f"[{(sf.group(1).rsplit('/', 1)[-1] if sf else '?')}"
+                      f":{sl.group(1) if sl else '?'}]")
     print("top unattributed ops (ms/frame):")
     for name, ms in sorted(agg.items(), key=lambda kv: -kv[1])[:15]:
+        inst = xplane._event_inst_name(name)
         print(f"  {ms/FRAMES:8.3f}  {name}")
+        if inst in meta:
+            print(f"            -> {meta[inst][:160]}")
+
+    # per-scope op drill-down: TRACE_SCOPE=warp_fixup (substring match)
+    scope = os.environ.get("TRACE_SCOPE")
+    if scope:
+        agg2 = {}
+        for op_text, dur in xplane.device_op_durations(logdir):
+            inst = xplane._event_inst_name(op_text)
+            sc = smap.get(inst)
+            if (sc and scope in sc) or scope in op_text:
+                agg2[op_text[:140]] = (agg2.get(op_text[:140], 0.0)
+                                       + dur / 1e9)
+        print(f"top ops inside scope ~'{scope}' (ms/frame):")
+        for name, ms in sorted(agg2.items(), key=lambda kv: -kv[1])[:20]:
+            inst = xplane._event_inst_name(name)
+            print(f"  {ms/FRAMES:8.3f}  {name}")
+            if inst in meta:
+                print(f"            -> {meta[inst][:160]}")
 
 
 if __name__ == "__main__":
