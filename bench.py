@@ -106,9 +106,9 @@ def main():
         solver=os.environ.get("BENCH_SOLVER", "householder"),
         residual_dtype=os.environ.get("BENCH_RESIDUAL", "float32"),
         # tier-dispatch structure arbitration (config.py:warp_tier_impl):
-        # "switch" = flat 4-way switch; "steady_cond" = unconditional
-        # steady fix-up + rare-path cond. Value-identical; measured here.
-        warp_tier_impl=os.environ.get("BENCH_TIER", "switch"),
+        # "steady_cond" (default) measured 0.3 ms/frame faster than the
+        # flat switch (branch-result copies); value-identical.
+        warp_tier_impl=os.environ.get("BENCH_TIER", "steady_cond"),
     ).validate()
 
     print(f"[bench] generating {frames}-frame {width}x{height} synthetic "
@@ -186,11 +186,37 @@ def main():
 
     print(f"[bench] per-frame times (ms): "
           f"{[round(t, 3) for t in times]}", file=sys.stderr)
+
+    # Device-event scope, like the reference's CL profiling (bmfr.cpp:
+    # 497-502): one traced run -> xplane busy span. The wall metric
+    # above additionally carries this environment's ~25 ms per-dispatch
+    # tunnel round-trip (~0.4 ms/frame at 60 frames), which the
+    # reference's measurement scope never includes.
+    device_ms = None
+    try:
+        import shutil
+
+        from bmfr_tpu import xplane
+        from bmfr_tpu.profiling import trace
+
+        logdir = "/tmp/bench_trace"
+        shutil.rmtree(logdir, ignore_errors=True)
+        with trace(logdir):
+            timed(inputs, cams, offs)
+        busy, span = xplane.device_busy_span(logdir)
+        device_ms = round(span / frames, 4)
+        print(f"[bench] device span {device_ms} ms/frame "
+              f"(busy {busy / frames:.3f})", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 - trace is best-effort
+        print(f"[bench] device-span capture failed: {e}",
+              file=sys.stderr)
+
     print(json.dumps({
         "metric": f"denoise_ms_per_frame_{width}x{height}",
         "value": round(ms, 4),
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / ms, 4),
+        "device_span_ms_per_frame": device_ms,
         "warp_kernel_served_pct": round(served_pct, 3),
         "warp_fallback_frames": fallback_frames,
     }))

@@ -117,16 +117,18 @@ class BMFRConfig:
     residual_dtype: str = "float32"
     #: Dispatch structure for the fused warp's exactness tiers (kernel /
     #: compact fix-up / whole-frame fallback — ops/warp_pallas.py):
-    #: "switch" = one flat 4-way lax.switch (round-3 structure);
-    #: "steady_cond" = the steady-capacity fix-up runs UNCONDITIONALLY
-    #: (identical values — padded compact indices rewrite covered pixels
-    #: with their own kernel values) and only the rare overflow tiers
-    #: (~1 frame in 60) sit behind a cond, keeping branch-copy costs off
-    #: the steady path. Both are value-identical at every coverage
-    #: level; the knob exists so the bench can arbitrate the structures
-    #: on hardware. "steady_only" drops overflow handling entirely —
-    #: measurement ONLY (a teleport frame would keep stale taps).
-    warp_tier_impl: str = "switch"
+    #: "steady_cond" (default) = the steady-capacity fix-up runs
+    #: UNCONDITIONALLY (identical values — padded compact indices
+    #: rewrite covered pixels with their own kernel values) and only
+    #: the rare overflow tiers (~1 frame in 60) sit behind a cond,
+    #: keeping branch-copy costs off the steady path; "switch" = one
+    #: flat 4-way lax.switch (round-3 structure). Both are
+    #: value-identical at every coverage level; bench-arbitrated on
+    #: hardware round 4: steady_cond 4.74 vs switch 5.05 ms/frame (the
+    #: switch's branch-result copies of the 13 planes cost ~0.3).
+    #: "steady_only" drops overflow handling entirely — measurement
+    #: ONLY (a teleport frame would keep stale taps).
+    warp_tier_impl: str = "steady_cond"
 
     # --- stage-bypass debug flags ---
     # The reference documents debugging by bisecting the 5-stage chain with

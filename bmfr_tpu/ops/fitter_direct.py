@@ -24,8 +24,12 @@ opencl/bmfr.cl per block in VMEM:
   ``e = x_in + 32*y_in`` maps to (sublane ``e//32``, lane ``e%32``));
 * Householder reflections (opencl/bmfr.cl:549-656) keep pixels in the
   2-D (32 sublanes x 32-lane segment) layout: per-block reductions are
-  one MXU matmul with the block-indicator matrix, per-block scalars
-  broadcast back through its transpose;
+  an exact-f32 sublane sum + segment-roll butterfly (_seg_allsum),
+  leaving each block's scalar replicated across its lanes so no
+  broadcast-back is needed. (An earlier MXU indicator-matmul reduction
+  was retired round 4: its default precision rounds operands to bf16 —
+  catastrophic for the normal equations, silently lossy for the QR —
+  and its exact HIGHEST variant costs 6 MXU passes, +0.7 ms/frame.);
 * the reduced systems come back in each block's sublane-0 lanes and are
   solved by the same batched triangular solve as the other fitter paths.
 
@@ -114,6 +118,29 @@ def _seg_reduce(x, op, be):
     while sh < be:
         y = pltpu.roll(x, shift=sh, axis=x.ndim - 1)          # y[l]=x[l-sh]
         x = jnp.where(lane >= sh, op(x, y), x)
+        sh *= 2
+    return x
+
+
+def _seg_allsum(x, be):
+    """Exact f32 sum within each ``be``-lane segment of the last axis,
+    every lane ending with its segment's total: log-step recursive
+    doubling over segment-cyclic shifts (two global rolls + a boundary
+    select per step). Replaces the indicator-matmul block reduction —
+    the default MXU pass rounds operands to bf16, whose lost mantissa
+    cancels catastrophically in the normal equations (the round-4
+    full-res cholesky parity collapse: 1077/1152 blocks NaN->zeroed),
+    and the exact ``Precision.HIGHEST`` matmul costs 6 MXU passes
+    (+0.7 ms/frame measured). The roll butterfly is exact f32 on the
+    VPU at ~2*log2(be) cheap lane permutes."""
+    lanes = x.shape[-1]
+    ax = x.ndim - 1
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, ax) % be
+    sh = 1
+    while sh < be:
+        a = pltpu.roll(x, shift=lanes - sh, axis=ax)   # a[l] = x[l+sh]
+        b = pltpu.roll(x, shift=be - sh, axis=ax)      # b[l] = x[l+sh-be]
+        x = x + jnp.where(lane < be - sh, a, b)
         sh *= 2
     return x
 
@@ -238,15 +265,8 @@ def _qr_kernel(cfg, n_chunks, ncx, reconstruct, rolled, org_smem,
     lo = cfg.features_not_scaled_count
     n_sc = cfg.features_scaled_count
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (LANES, CHUNK), 0)
-    bcol = jax.lax.broadcasted_iota(jnp.int32, (LANES, CHUNK), 1)
-    G = (lane // be == bcol).astype(jnp.float32)        # [LANES, CHUNK]
-    GT = G.T                                            # [CHUNK, LANES]
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (be, LANES), 0)
     c_in = jax.lax.broadcasted_iota(jnp.int32, (be, LANES), 1) % be
-
-    def blocksum(m):
-        return jnp.dot(m, G, preferred_element_type=jnp.float32)
 
     dma_in = functools.partial(_dma_in, rolled, ncx, be, org_smem,
                                src_hbm, x2, sem_i)
@@ -269,33 +289,30 @@ def _qr_kernel(cfg, n_chunks, ncx, reconstruct, rolled, org_smem,
                  jnp.zeros((_EXPORT_ROWS - 2 * n_sc, LANES),
                            jnp.float32)], axis=0)
 
-        # Householder QR (bmfr.cl:549-656)
+        # Householder QR (bmfr.cl:549-656). All per-block reductions and
+        # broadcasts run as exact-f32 segment rolls (lane-replicated
+        # [1, LANES] scalars) — see _seg_allsum for why not the MXU.
         for col in range(F):
             v = data[col]                               # [be, LANES]
             tailm = (r_iota > 0) | (c_in > col)
             tail = jnp.where(tailm, v, 0.0)
-            sigma = jnp.sum(blocksum(tail * tail), axis=0)     # [CHUNK]
-            pivot = blocksum(
-                jnp.where(c_in == col, v, 0.0)[0:1])[0]        # [CHUNK]
+            sigma = _seg_allsum(jnp.sum(tail * tail, axis=0,
+                                        keepdims=True), be)  # [1, LANES]
+            pivot = _seg_bcast_from(v[0:1], col, be)          # [1, LANES]
             vec_len = jnp.sqrt(sigma + pivot * pivot)
             head = pivot - vec_len
             u_len_sq = sigma + head * head
-            head_l = jnp.dot(head[None, :], GT)                # [1,LANES]
             pivm = (r_iota == 0) & (c_in == col)
-            u = jnp.where(tailm, v, 0.0) + jnp.where(pivm, head_l, 0.0)
+            u = jnp.where(tailm, v, 0.0) + jnp.where(pivm, head, 0.0)
 
             rest = data[col + 1:]                       # [nf, be, LANES]
-            nf = B - col - 1
-            prod = (rest * u[None]).reshape(nf * be, LANES)
-            dots = blocksum(prod).reshape(nf, be, CHUNK).sum(axis=1)
-            dl = jnp.dot(dots, GT)                      # [nf, LANES]
-            coef_l = jnp.dot((2.0 / u_len_sq)[None, :], GT)
-            rest = rest - (coef_l * dl)[:, None, :] * u[None]
+            dots = _seg_allsum(jnp.sum(rest * u[None], axis=1),
+                               be)                      # [nf, LANES]
+            rest = rest - ((2.0 / u_len_sq) * dots)[:, None, :] * u[None]
             rest = _quantize(cfg, rest)
 
             new_col = (jnp.where((r_iota == 0) & (c_in < col), v, 0.0)
-                       + jnp.where(pivm, jnp.dot(vec_len[None, :], GT),
-                                   0.0))
+                       + jnp.where(pivm, vec_len, 0.0))
             pieces = [new_col[None], rest]
             if col > 0:
                 pieces.insert(0, data[:col])
@@ -495,8 +512,11 @@ def fit_reconstruct_direct(cfg, view9, frame, interpret=None,
 def _chol_kernel(cfg, n_chunks, ncx, rolled, org_smem, src_hbm,
                  noise_vmem, recon_hbm, x2, fstage, sem_i, sem_f):
     """Fused K2+K3 with the normal-equations solver: Gram + rhs via
-    indicator matmuls (MXU), a lane-parallel 13x13 Cholesky on [CHUNK]-
-    wide per-block scalars, and the in-VMEM reconstruction — the
+    exact-f32 segment-roll reductions (:func:`_seg_allsum` — the
+    default-precision MXU indicator matmul's bf16 rounding cancelled to
+    negative pivots on near-degenerate blocks, NaN-zeroing 93% of a
+    full-res frame), a lane-parallel 13x13 Cholesky on lane-replicated
+    per-block scalars, and the in-VMEM reconstruction — the
     ``solver="cholesky"`` semantics of :func:`bmfr_tpu.ops.fitter.
     cholesky_weights` (mathematically the same least-squares solution
     as the QR path, opencl/bmfr.cl:549-699) at ~10x less VPU work than
@@ -504,11 +524,6 @@ def _chol_kernel(cfg, n_chunks, ncx, rolled, org_smem, src_hbm,
     F = cfg.feature_count
     B = cfg.buffer_count
     be = cfg.block_edge
-
-    lane = jax.lax.broadcasted_iota(jnp.int32, (LANES, CHUNK), 0)
-    bcol = jax.lax.broadcasted_iota(jnp.int32, (LANES, CHUNK), 1)
-    G = (lane // be == bcol).astype(jnp.float32)        # [LANES, CHUNK]
-    GT = G.T                                            # [CHUNK, LANES]
 
     dma_in = functools.partial(_dma_in, rolled, ncx, be, org_smem,
                                src_hbm, x2, sem_i)
@@ -528,21 +543,22 @@ def _chol_kernel(cfg, n_chunks, ncx, rolled, org_smem, src_hbm,
 
         # Per-block Gram rows + rhs: row f of [A; b]^T [A; b] restricted
         # to the needed triangle — prod over the remaining channels,
-        # block-reduced by the indicator matmul. [B, CHUNK] per row.
-        rows = []                                       # [F][B-f, CHUNK]
+        # reduced exactly per block segment (sublane sum + roll
+        # butterfly), lane-replicated. [B-f, LANES] per row.
+        rows = []                                       # [F][B-f, LANES]
         for f in range(F):
             rest = data[f:]                             # [B-f, be, LANES]
-            nf = B - f
-            prod = (rest * data[f][None]).reshape(nf * be, LANES)
-            s = jnp.dot(prod, G, preferred_element_type=jnp.float32)
-            rows.append(s.reshape(nf, be, CHUNK).sum(axis=1))
+            rows.append(_seg_allsum(
+                jnp.sum(rest * data[f][None], axis=1), be))
 
         def at(f1, f2):
             # Gram/rhs entry (f1 <= f2): row f1, offset f2 - f1
-            return rows[f1][f2 - f1]                    # [CHUNK]
+            return rows[f1][f2 - f1]                    # [LANES]
 
-        # Lane-parallel Cholesky G = L L^T over the CHUNK per-block
-        # scalars (cholesky_weights semantics; NaN blocks -> 0 below).
+        # Lane-parallel Cholesky G = L L^T over the lane-replicated
+        # per-block scalars (cholesky_weights semantics; NaN -> 0
+        # below). Vector ops are full-width regardless, so the 32x
+        # lane redundancy is free.
         L = [[None] * F for _ in range(F)]
         for j in range(F):
             d = at(j, j)
@@ -556,7 +572,7 @@ def _chol_kernel(cfg, n_chunks, ncx, rolled, org_smem, src_hbm,
                 L[i2][j] = v / L[j][j]
 
         # Solve L y = c, L^T w = y for the 3 color channels.
-        w = []                                          # [F][3, CHUNK]
+        w = []                                          # [F][3, LANES]
         for ch in range(3):
             y = [None] * F
             for i2 in range(F):
@@ -571,13 +587,12 @@ def _chol_kernel(cfg, n_chunks, ncx, rolled, org_smem, src_hbm,
                     v = v - L[k][i2] * x[k]
                 x[i2] = v / L[i2][i2]
             w.append(x)
-        # w[ch][f]: [CHUNK]; singular blocks (NaN) -> zero weights
+        # w[ch][f]: [LANES], already lane-replicated per block;
+        # singular blocks (NaN) -> zero weights
         wl = []                                         # [F][3, LANES]
         for f in range(F):
             wf = jnp.stack([w[0][f], w[1][f], w[2][f]], axis=0)
-            wf = jnp.where(jnp.isnan(wf), 0.0, wf)
-            wl.append(jnp.dot(wf, GT,
-                              preferred_element_type=jnp.float32))
+            wl.append(jnp.where(jnp.isnan(wf), 0.0, wf))
 
         color = jnp.zeros((3, be, LANES), jnp.float32)
         for f in range(F):
