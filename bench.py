@@ -96,14 +96,18 @@ def main():
         position_limit_squared=0.03, normal_limit_squared=0.5,
         warp_mode=os.environ.get("BENCH_WARP_MODE", "pallas"),
         # the planes-direct fused fitter (v2: 2-D block-layout QR with
-        # indicator-matmul reductions, feature build + K1 store + scale +
-        # noise in-kernel) removes blockify's 52 MB transpose entirely:
-        # 7.06 vs 8.30 ms/frame at 60 frames (docs/PERF_NOTES.md).
+        # exact-f32 segment-roll reductions, feature build + K1 store +
+        # scale + noise in-kernel) removes blockify's 52 MB transpose
+        # entirely (docs/PERF_NOTES.md).
         fitter_impl=os.environ.get("BENCH_FITTER", "pallas_direct"),
-        # the fused cholesky kernel (same least-squares solution, ~10x
-        # less VPU work than the Householder loop) is measured as the
-        # alternative solver; the headline stays reference-exact QR
-        solver=os.environ.get("BENCH_SOLVER", "householder"),
+        # headline solver: the fused Gram/Cholesky direct fitter — the
+        # same least-squares solution as the reference's Householder QR
+        # (opencl/bmfr.cl:549-699 is the means, the LS solution is the
+        # contract; docs/DIVERGENCES.md records the swap), verified
+        # == householder to ~1e-4 on hardware at full res and ~0.5 ms/
+        # frame faster (PARITY_FULLRES.json pallas_cholesky rows,
+        # FIDELITY_r5.json flagship_cholesky rows).
+        solver=os.environ.get("BENCH_SOLVER", "cholesky"),
         residual_dtype=os.environ.get("BENCH_RESIDUAL", "float32"),
         # tier-dispatch structure arbitration (config.py:warp_tier_impl):
         # "steady_cond" (default) measured 0.3 ms/frame faster than the
@@ -111,9 +115,15 @@ def main():
         warp_tier_impl=os.environ.get("BENCH_TIER", "steady_cond"),
     ).validate()
 
+    # BENCH_SCENE=swing measures the teleport sequence (a hard camera
+    # cut at frames//2 that breaks every reprojection test and engages
+    # the whole-frame fallback tier — the reference must survive
+    # arbitrary cuts at fixed cost, opencl/bmfr.cl:336-430).
+    scene = os.environ.get("BENCH_SCENE", "orbit")
     print(f"[bench] generating {frames}-frame {width}x{height} synthetic "
-          f"scene...", file=sys.stderr)
-    sc = synthetic_sequence(width=width, height=height, frames=frames)
+          f"{scene} scene...", file=sys.stderr)
+    sc = synthetic_sequence(width=width, height=height, frames=frames,
+                            scene=scene)
 
     to_tchw = lambda a: jnp.asarray(
         np.moveaxis(a, -1, 1).astype(np.float32))
@@ -176,16 +186,23 @@ def main():
     # Steady-state timing with the readback fence (block_until_ready may
     # no-op on this stack — docs/PERF_NOTES.md; the fence is the rendered
     # frame reaching the host, like the reference's event end timestamps).
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    # Headline = MEDIAN of reps; spread (max-min) rides in the JSON so
+    # per-change claims can be judged against run-to-run noise (VERDICT
+    # r4 #6; the reference's own discipline is mean/min/max,
+    # opencl/CLUtils/CLUtils.hpp:240-361).
+    reps = int(os.environ.get("BENCH_REPS", "5"))
     times = []
     for _ in range(reps):
         secs, _out, _stats, checksum = timed(inputs, cams, offs)
         assert checksum == checksum, "NaN checksum"  # also keeps it live
         times.append(secs / frames * 1e3)
-    ms = min(times)
+    ms = float(np.median(times))
+    spread = max(times) - min(times)
 
     print(f"[bench] per-frame times (ms): "
-          f"{[round(t, 3) for t in times]}", file=sys.stderr)
+          f"{[round(t, 3) for t in times]} "
+          f"-> median {ms:.3f}, min {min(times):.3f}, "
+          f"spread {spread:.3f}", file=sys.stderr)
 
     # Device-event scope, like the reference's CL profiling (bmfr.cpp:
     # 497-502): one traced run -> xplane busy span. The wall metric
@@ -216,6 +233,12 @@ def main():
         "value": round(ms, 4),
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / ms, 4),
+        "spread_ms": round(spread, 4),
+        "reps_ms": [round(t, 4) for t in times],
+        "config": f"scene={scene} warp={cfg.warp_mode} "
+                  f"fitter={cfg.fitter_impl} solver={cfg.solver} "
+                  f"residual={cfg.residual_dtype} "
+                  f"tier={cfg.warp_tier_impl}",
         "device_span_ms_per_frame": device_ms,
         "warp_kernel_served_pct": round(served_pct, 3),
         "warp_fallback_frames": fallback_frames,

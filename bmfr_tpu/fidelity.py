@@ -34,6 +34,18 @@ def default_config_matrix(base: BMFRConfig):
         "flagship": base.replace(warp_mode="pallas",
                                  fitter_impl="pallas_direct",
                                  residual_dtype="bfloat16"),
+        # the bench headline candidate: flagship datapath + the fused
+        # Gram/Cholesky solver (ops/fitter_direct.py) — same
+        # least-squares contract as Householder (opencl/bmfr.cl:549-699
+        # is the means, the LS solution is the contract)
+        "flagship_cholesky": base.replace(warp_mode="pallas",
+                                          fitter_impl="pallas_direct",
+                                          solver="cholesky",
+                                          residual_dtype="bfloat16"),
+        # flagship with f32 residual: isolates the residual_dtype choice
+        # at the flagship operating point (VERDICT r4 task #4)
+        "flagship_f32res": base.replace(warp_mode="pallas",
+                                        fitter_impl="pallas_direct"),
         "residual_bf16": base.replace(residual_dtype="bfloat16"),
         "no_taa": base.replace(skip_taa=True),
         "first_order": base.replace(

@@ -12,10 +12,12 @@ displacement spread is p50 ~3 px and p99 ~13-19 px, so almost every
 pixel resolves from a small per-tile window:
 
   1. per tile, DMA a motion-bounded window of the packed source into
-     VMEM at its *exact* (unaligned) origin — v4; no alignment slack,
-     no in-kernel rolls,
-  2. (v3 and earlier only: dynamic rolls removed the 8/128-alignment
-     slack; v4 deleted them),
+     VMEM at an (8, 128)-ALIGNED origin — Mosaic requires provably
+     aligned dynamic copy origins (see "Mosaic facts" below; an exact
+     unaligned-origin variant, "v4", never compiled on hardware),
+  2. two in-kernel dynamic rolls (``pltpu.roll`` with traced shifts,
+     ~noise-level cost) remove the 8-row / 128-lane alignment slack so
+     the window lines up with the tile's true origin,
   3. resolve the source row with shifted-sublane-slice selects driven by
      a per-source-column selector plane (``row1`` rides along as the
      ``k+1`` slice — source padding makes ``row1 = row0 + 1`` always),
