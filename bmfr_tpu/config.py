@@ -112,7 +112,7 @@ class BMFRConfig:
     #: own half-precision pragmatism (opencl/bmfr.cl:255-265); clamp
     #: bounds are perturbed <= 1 bf16 ulp and outputs stay f32. K4's
     #: blend math stays f32 always: it updates recurrent state, and its
-    #: whole stage is ~0.06 ms. Measured cost: FIDELITY_r3
+    #: whole stage is ~0.06 ms. Measured cost: FIDELITY_r5.json
     #: residual_bf16 rows.
     residual_dtype: str = "float32"
     #: Dispatch structure for the fused warp's exactness tiers (kernel /

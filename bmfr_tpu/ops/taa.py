@@ -41,7 +41,7 @@ def taa(cfg, prev_pixels, new_frame, prev_result, frame, taps=None):
     # min/max passes over the frame); with residual_dtype="bfloat16" it
     # runs at half the bytes, perturbing the clamp bounds by at most
     # one bf16 ulp (~0.4% relative) — measured fidelity cost in the
-    # FIDELITY_r3 residual_bf16 rows.
+    # FIDELITY_r5.json residual_bf16 / flagship-vs-flagship_f32res rows.
     rd = (jnp.bfloat16 if cfg.residual_dtype == "bfloat16" else
           jnp.float32)
     ycc = rgb_to_ycocg(new_frame)
