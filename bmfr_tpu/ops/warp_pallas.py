@@ -929,15 +929,19 @@ def warp_blend_pallas(cfg, stacked, cur6, pfx, pfy, *, src8=None,
                 bitsk = _mask_bits(iyk, ixk, H, W)
                 cur6k = cur6[:, yk, xk]               # [6, k]
                 # taps come from the padded source (so the unpadded
-                # pack has no consumers and its pad fuses away)
-                Hp, Wp = plan.src_pad.shape[1:]
+                # pack has no consumers and its pad fuses away); 2-D
+                # point indexing — the flat `reshape(8, Hp*Wp)[:, flat]`
+                # form forced a 47 MB plane-interleaving relayout copy
+                # of the source every frame (round-5 xplane: 0.065
+                # ms/frame), the 2-D gather reads the T(8,128) source
+                # layout in place
                 iy0 = jnp.clip(iyk, 0, H - 1) + P_T3
                 iy1 = jnp.clip(iyk + 1, 0, H - 1) + P_T3
                 ix0 = jnp.clip(ixk, 0, W - 1) + P_L
                 ix1 = jnp.clip(ixk + 1, 0, W - 1) + P_L
-                flat = jnp.concatenate([iy0 * Wp + ix0, iy0 * Wp + ix1,
-                                        iy1 * Wp + ix0, iy1 * Wp + ix1])
-                words = plan.src_pad.reshape(8, Hp * Wp)[:, flat]
+                yy = jnp.concatenate([iy0, iy0, iy1, iy1])
+                xx = jnp.concatenate([ix0, ix1, ix0, ix1])
+                words = plan.src_pad[:, yy, xx]
                 tv = [_unpack_ch_pairs(words[:, i * k:(i + 1) * k])
                       for i in range(4)]
                 fix = blend_from_taps(

@@ -30,10 +30,13 @@ def main():
     H, W = 720, 1280
     mode = os.environ.get("WARP_MODE", "pallas")
     fitter = os.environ.get("FITTER", "pallas_direct")
+    solver = os.environ.get("SOLVER", "cholesky")
+    tier = os.environ.get("TIER", "steady_cond")
     cfg = BMFRConfig(image_width=W, image_height=H,
                      position_limit_squared=0.03,
                      normal_limit_squared=0.5,
-                     warp_mode=mode, fitter_impl=fitter).validate()
+                     warp_mode=mode, fitter_impl=fitter,
+                     solver=solver, warp_tier_impl=tier).validate()
     sc = synthetic_sequence(width=W, height=H, frames=FRAMES)
     to_tchw = lambda a: jnp.asarray(np.moveaxis(a, -1, 1).astype(np.float32))
     inputs = FrameInputs(
@@ -53,8 +56,8 @@ def main():
     hlo = compiled.as_text()
     per, other, total = xplane.stage_device_times(logdir, hlo_text=hlo)
     busy, span = xplane.device_busy_span(logdir)
-    print(f"scan of {FRAMES} frames, warp_mode={mode} "
-          f"(device ms/frame):")
+    print(f"scan of {FRAMES} frames, warp_mode={mode} fitter={fitter} "
+          f"solver={solver} tier={tier} (device ms/frame):")
     for s, ms in per.items():
         print(f"  {s:<28}{ms / FRAMES:>9.3f}")
     print(f"  {'(unattributed)':<28}{other / FRAMES:>9.3f}")
