@@ -347,28 +347,29 @@ def compact_indices(mask_flat, k):
     total count. Two-level rank search: `jnp.nonzero` lowers to a
     scatter-add with one update per input element (~8 ms at 921k) and
     `jnp.searchsorted` to log2(n) k-sized gather rounds; here the
-    1024-element block containing each rank comes from one comparison
-    matrix (no gathers) and only the 10 in-block halving steps gather.
+    256-element block containing each rank comes from one comparison
+    matrix (no gathers) and the in-block position from ONE row-granular
+    gather + compare-count — round-5 xplane showed the former 10
+    sequential in-block halving gathers (element-granular, dependency-
+    chained) owned ~0.25 ms/frame of the compaction's 0.356; the row
+    gather vectorizes over lanes and the compare fuses into its reduce.
     The prefix sum itself runs on the MXU (:func:`cumsum_mxu`).
     """
     i32 = jnp.int32
     n = mask_flat.shape[0]
-    BS = 1024
+    BS = 256
     nb = -(-n // BS)
     cs = cumsum_mxu(mask_flat.astype(i32))
     total = cs[-1]
     cs_pad = jnp.pad(cs, (0, nb * BS - n), constant_values=cs[-1])
     csb = cs_pad[BS - 1 :: BS]                       # block-end ranks
     q = jnp.arange(1, k + 1, dtype=i32)
-    # block of the q-th set bit: #blocks whose end-rank < q
+    # block of the q-th set bit: #blocks whose end-rank < q. Blocks
+    # before it hold only ranks < q; blocks after start at >= q — so
+    # global rank position = bidx*BS + in-block count of cs < q.
     bidx = jnp.sum((csb[None, :] < q[:, None]).astype(i32), axis=1)
-    pos = bidx * BS
-    step = BS // 2
-    while step:
-        cand = pos + step
-        v = cs_pad[jnp.clip(cand - 1, 0, nb * BS - 1)]
-        pos = jnp.where(v < q, cand, pos)
-        step //= 2
+    rows = cs_pad.reshape(nb, BS)[jnp.clip(bidx, 0, nb - 1)]  # [k, BS]
+    pos = bidx * BS + jnp.sum((rows < q[:, None]).astype(i32), axis=1)
     # overflow ranks pad with n-1 (not 0) so the index list stays
     # sorted — the fix-up scatter then runs with indices_are_sorted
     # (padded slots rewrite pixel n-1 with its own bit-identical value)
