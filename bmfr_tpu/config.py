@@ -115,19 +115,19 @@ class BMFRConfig:
     #: whole stage is ~0.06 ms. Measured cost: FIDELITY_r5.json
     #: residual_bf16 rows.
     residual_dtype: str = "float32"
-    #: Dispatch structure for the fused warp's exactness tiers (kernel /
-    #: compact fix-up / whole-frame fallback — ops/warp_pallas.py):
-    #: "steady_cond" (default) = the steady-capacity fix-up runs
-    #: UNCONDITIONALLY (identical values — padded compact indices
-    #: rewrite covered pixels with their own kernel values) and only
-    #: the rare overflow tiers (~1 frame in 60) sit behind a cond,
-    #: keeping branch-copy costs off the steady path; "switch" = one
-    #: flat 4-way lax.switch (round-3 structure). Both are
-    #: value-identical at every coverage level; bench-arbitrated on
-    #: hardware round 4: steady_cond 4.74 vs switch 5.05 ms/frame (the
-    #: switch's branch-result copies of the 13 planes cost ~0.3).
-    #: "steady_only" drops overflow handling entirely — measurement
-    #: ONLY (a teleport frame would keep stale taps).
+    #: Dispatch structure for the fused warp's exactness tiers (kernel
+    #: with in-kernel steady-tier fix merge / compact heavy fix-up /
+    #: whole-frame fallback — ops/warp_pallas.py). Since round 5 the
+    #: steady tier's fix entries merge INSIDE the kernel as each tile
+    #: is staged, so on steady frames the kernel output IS the final
+    #: answer: "steady_cond" (default) puts only the rare overflow
+    #: tiers (~1 frame in 60) behind a cond whose identity branch
+    #: passes the kernel output through; "switch" = one flat 4-way
+    #: lax.switch (round-3 structure; its branch-result copies of the
+    #: 13 planes cost ~0.3 ms, bench-arbitrated round 4). Both are
+    #: value-identical at every coverage level. "steady_only" drops
+    #: overflow handling entirely — measurement ONLY (a teleport frame
+    #: would keep stale taps).
     warp_tier_impl: str = "steady_cond"
 
     # --- stage-bypass debug flags ---

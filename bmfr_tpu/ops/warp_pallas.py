@@ -32,12 +32,17 @@ Exactness: the kernel path is bit-identical to the XLA gather for every
 *covered* pixel. Pixels the per-axis decomposition cannot serve —
 window misses, and "fold" conflicts where two pixels of one row claim
 the same source column with different source rows (~0.5% of pixels on
-real fields) — are detected in the XLA-side plan, compacted, fetched
-with a small K-index gather and scattered over the kernel output. If
-the uncovered count exceeds the fix-up capacity (camera teleports), the
-whole frame falls back to the exact XLA gather under ``lax.cond`` — so
-the kernel is bit-identical to ``gather_planes`` everywhere, for every
-pixel whose taps the pipeline consumes, at every coverage level.
+real fields) — are detected in the XLA-side plan, compacted tile-major,
+their exact values recomputed with a small K-index gather, and MERGED
+INSIDE the kernel as each output tile is staged (two one-hot factors on
+the MXU; round-5 replaced the post-hoc XLA scatter, whose serialized
+updates + 59 MB layout-copy chain owned 0.66 ms/frame of device span —
+BENCH 4.058 -> 3.395 ms). Heavier frames
+rescatter on top under ``lax.cond``; if the uncovered count exceeds all
+fix-up tiers (camera teleports), the whole frame falls back to the
+exact XLA gather — so the kernel is bit-identical to ``gather_planes``
+everywhere, for every pixel whose taps the pipeline consumes, at every
+coverage level.
 
 The source is the same x-pair-packed int32 representation as warp mode
 ``packed_x_bf16`` (two bf16 horizontal taps per 32-bit lane): one
@@ -103,6 +108,17 @@ P_L = 256
 #: (scripts/bench_warp.py); the search and scatter both scale with K,
 #: and overflow falls back to the exact full gather — so 2x headroom.
 FIXUP_K = 8192
+
+#: In-kernel fix-up slab: lanes of the per-tile transported fix-entry
+#: window. The steady-tier entries are compacted tile-major, so a
+#: tile's entries are one contiguous run of the transport array; the
+#: kernel DMAs a fixed [16, FSLAB] window at the run's start aligned
+#: down to 128 lanes (Mosaic's dynamic-origin constraint), so runs of
+#: up to FSLAB - 128 entries per tile are servable in-kernel. Measured
+#: steady-frame per-tile maxima on the orbit scene are ~220 px
+#: (scripts/probe_fields.py fields; bench mean uncovered ~2.3k/frame)
+#: — ~1.7x headroom; larger runs ride the heavy-tier condition.
+FSLAB = 512
 
 # A plain python int, NOT a jnp scalar: a module-level jax array that a
 # traced function closes over is exactly the kind of cross-trace constant
@@ -499,6 +515,44 @@ def _mask_bits(iy, ix, H, W):
     return bits
 
 
+def _fix_values_at(cfg, plan, cur6, pfxy, yk, xk, H, W):
+    """Exact per-point recompute of the 13 blend planes at pixel list
+    ``(yk, xk)``: 2-D point gathers of the reprojection pair + cur6
+    (gather cost is per op, riders ~free — docs/PERF_NOTES.md), aux
+    recomputed at the points, one gather over the 4 concatenated tap
+    index sets, then the exact bf16-identical :func:`blend_from_taps`.
+    Shared by the in-kernel steady merge and the heavy fix-up tiers, so
+    every tier writes bit-identical values.
+    """
+    from .gather import floor_int
+
+    pfk = pfxy[:, yk, xk]                 # [2, k]
+    ixk = floor_int(pfk[0])
+    iyk = floor_int(pfk[1])
+    fxk = pfk[0] - ixk.astype(jnp.float32)
+    fyk = pfk[1] - iyk.astype(jnp.float32)
+    bitsk = _mask_bits(iyk, ixk, H, W)
+    cur6k = cur6[:, yk, xk]               # [6, k]
+    # taps come from the padded source (so the unpadded pack has no
+    # consumers and its pad fuses away); 2-D point indexing — the flat
+    # `reshape(8, Hp*Wp)[:, flat]` form forced a 47 MB plane-
+    # interleaving relayout copy of the source every frame (round-5
+    # xplane: 0.065 ms/frame), the 2-D gather reads the T(8,128)
+    # source layout in place
+    k = yk.shape[0]
+    iy0 = jnp.clip(iyk, 0, H - 1) + P_T3
+    iy1 = jnp.clip(iyk + 1, 0, H - 1) + P_T3
+    ix0 = jnp.clip(ixk, 0, W - 1) + P_L
+    ix1 = jnp.clip(ixk + 1, 0, W - 1) + P_L
+    yy = jnp.concatenate([iy0, iy0, iy1, iy1])
+    xx = jnp.concatenate([ix0, ix1, ix0, ix1])
+    words = plan.src_pad[:, yy, xx]
+    tv = [_unpack_ch_pairs(words[:, i * k:(i + 1) * k])
+          for i in range(4)]
+    return blend_from_taps(
+        cfg, tv[0], tv[1], tv[2], tv[3], cur6k, bitsk, fxk, fyk)
+
+
 #: Select-depth phases (KY, KX, roll-window rows): tiles are classed
 #: into the smallest phase whose depths cover their per-tile selector
 #: spread. Measured on real orbit fields (scripts/probe_spread.py):
@@ -546,6 +600,7 @@ class _BlendPlan(NamedTuple):
     order: jnp.ndarray      # [NT] i32 tiles sorted by depth class
     bounds: jnp.ndarray     # [4] i32 phase partition of `order`
     uncovered: jnp.ndarray  # [H, W] bool
+    uncovered_t: jnp.ndarray  # [NT, TH, TC] bool (tile-major twin)
     n_uncovered: jnp.ndarray  # [] i32
     counts: jnp.ndarray     # [3] i32 tiles per phase
 
@@ -674,7 +729,8 @@ def _plan_blend(src8, iy, ix, fx, fy, bits):
         src_pad=src_pad, sel_u=sel_u, sel_rest=sel_rest, wo=wo,
         raxo=jnp.concatenate([ra, (xo128 + P_L)]).astype(i32),
         resid=resid.astype(i32), order=order, bounds=bounds,
-        uncovered=uncovered, n_uncovered=n_uncovered, counts=counts)
+        uncovered=uncovered, uncovered_t=uncovered_t,
+        n_uncovered=n_uncovered, counts=counts)
 
 
 def _unpack_ch_pairs(o):
@@ -688,9 +744,11 @@ def _unpack_ch_pairs(o):
 
 def _blend_kernel3(cfg, nty, ntx,
                    bounds_ref, tiles_ref, wo_ref, raxo_ref, resid_ref,
-                   src_hbm, selu_hbm, selr_hbm, cur_hbm, out_hbm,
-                   win2, selu2, selr2, cur2, stage,
-                   sem_w, sem_u, sem_r, sem_c, sem_o):
+                   fixoff_ref,
+                   src_hbm, selu_hbm, selr_hbm, cur_hbm, fix_hbm,
+                   out_hbm,
+                   win2, selu2, selr2, cur2, fix2, stage,
+                   sem_w, sem_u, sem_r, sem_c, sem_f, sem_o):
     """The fused warp+blend kernel: one invocation, three sequential
     select-depth phases over the class-sorted tile list, double-buffered
     input DMAs with one prefetch chain crossing phase boundaries (the
@@ -700,9 +758,11 @@ def _blend_kernel3(cfg, nty, ntx,
     cannot prove aligned — probe_dma_align.py), two dynamic rolls remove
     the alignment slack, KY shifted-sublane selects resolve the source
     row (row1 rides as the k+1 slice; the x+1 claims use the one-lane-
-    shifted map), KX shifted-lane selects resolve the column, then the
-    unpacked taps run :func:`blend_from_taps` in-VMEM and a double-
-    buffered DMA stores the 13 planes.
+    shifted map), KX shifted-lane selects resolve the column, the
+    unpacked taps run :func:`blend_from_taps` in-VMEM, the tile's
+    steady-tier fix entries merge in (the inline one-hot MXU merge in
+    the loop body below), and a double-buffered DMA stores the 13
+    planes.
     """
     NT = nty * ntx
 
@@ -710,6 +770,7 @@ def _blend_kernel3(cfg, nty, ntx,
         i = tiles_ref[k]
         wo = pl.multiple_of(wo_ref[i], 8)
         xo = pl.multiple_of(raxo_ref[NT + i], 128)
+        fo = pl.multiple_of(fixoff_ref[i], 128)
         ty = i // ntx
         tx = i % ntx
         return (
@@ -725,6 +786,9 @@ def _blend_kernel3(cfg, nty, ntx,
             pltpu.make_async_copy(
                 cur_hbm.at[:, pl.ds(ty * TH, TH), pl.ds(tx * TC, TC)],
                 cur2.at[slot], sem_c.at[slot]),
+            pltpu.make_async_copy(
+                fix_hbm.at[:, pl.ds(fo, FSLAB)],
+                fix2.at[slot], sem_f.at[slot]),
         )
 
     for d in dmas(0, 0):
@@ -797,10 +861,69 @@ def _blend_kernel3(cfg, nty, ntx,
                 pltpu.make_async_copy(
                     stage.at[slot], dst, sem_o.at[slot]).wait()
 
-            stage[slot] = blend_from_taps(
+            val = blend_from_taps(
                 cfg, _unpack_ch_pairs(o00), _unpack_ch_pairs(o10),
                 _unpack_ch_pairs(o01), _unpack_ch_pairs(o11),
                 cur2[slot], bits, fxp, fyp)
+
+            # Steady-tier fix merge: the tile's fix entries (values
+            # recomputed pre-kernel by the exact fix-up blend) land via
+            # two one-hot factors — row one-hot applied on the VPU,
+            # column one-hot contracted on the MXU. Each output pixel
+            # receives at most ONE entry (positions are unique within
+            # a tile), so the "sum" is a single product; the f32 values
+            # ride as an exact 3-way bf16 split (the same rounding trap
+            # the fitters hit in round 4 — bf16(v1)+bf16(v2)+bf16(v3)
+            # reconstructs any finite f32 exactly, and {0,1} one-hots
+            # are bf16-exact). Runs unconditionally on a local value —
+            # entries of other tiles (and padding, tile id -1) zero out
+            # through the validity factor.
+            bf = jnp.bfloat16
+            f32 = jnp.float32
+            fv = fix2[slot]                      # [16, FSLAB] f32
+            # rows 13/14/15 carry the entry's tile-local row, column
+            # and tile id as plain f32 NUMBERS (exact for ints < 2^24;
+            # ours are < 4096). Bitcast int32 transport was the round-5
+            # no-op bug: small ints bitcast to f32 are denormals, and
+            # the XLA-side pad/concat fusion producing fix_hbm flushes
+            # them to zero on TPU (probe_fixhbm.py) — normal-range
+            # float encoding is flush-proof.
+            er = fv[13:14]                       # [1, FSLAB] f32
+            ec = fv[14:15]
+            etile = fv[15:16]
+            # validity as ARITHMETIC 0/1 (never an i1 vector: a
+            # [1, FSLAB] mask born at a sublane-offset slice cannot
+            # be relayed out to the replicated broadcast layout —
+            # "Invalid relayout ... replicated in destination")
+            validf = (1 - jnp.minimum(
+                jnp.abs(etile - i.astype(f32)), 1)).astype(bf)
+            eq = lambda a, b: (1 - jnp.minimum(
+                jnp.abs(a - b), 1)).astype(bf)
+            # (tpu.iota is integer-only — build i32, convert)
+            ohr = eq(er, jax.lax.broadcasted_iota(
+                jnp.int32, (TH, FSLAB), 0).astype(f32)) * validf
+            # column one-hot built pre-transposed ([TC, FSLAB], e
+            # on lanes — no lane<->sublane reshape) and contracted
+            # over lanes on both sides
+            ohc = eq(ec, jax.lax.broadcasted_iota(
+                jnp.int32, (TC, FSLAB), 0).astype(f32)) * validf
+            vals = fv[0:13]                      # [13, FSLAB] f32
+            v1 = vals.astype(bf)
+            r1 = vals - v1.astype(f32)
+            v2 = r1.astype(bf)
+            v3 = (r1 - v2.astype(f32)).astype(bf)
+            one = jnp.full((1, FSLAB), 1.0, bf)
+            # [(14+13+13), TH, FSLAB] -> one MXU contraction
+            tmp = (jnp.concatenate([v1, one, v2, v3], axis=0)
+                   [:, None, :] * ohr[None])
+            upd = jax.lax.dot_general(
+                tmp.reshape(40 * TH, FSLAB), ohc,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=f32).reshape(40, TH, TC)
+            hit = upd[13]
+            fixed = upd[0:13] + upd[14:27] + upd[27:40]
+            stage[slot] = jnp.where(hit[None] > 0.5, fixed, val)
+
             pltpu.make_async_copy(
                 stage.at[slot], dst, sem_o.at[slot]).start()
             return 0
@@ -868,13 +991,80 @@ def warp_blend_pallas(cfg, stacked, cur6, pfx, pfy, *, src8=None,
 
     cur_pad = jnp.pad(cur6, ((0, 0), (0, Hk - H), (0, Wk - W)))
 
+    # the reprojected-coordinate pair, gathered at the fix-up points
+    # and used to RECOMPUTE iy/ix/fx/fy/bits there (round-4 xplane
+    # attribution: gathering the 5 precomputed aux planes cost 0.61
+    # ms/frame, almost all of it the per-plane reshape(1,-1) relayouts
+    # feeding the aux concat — the point-local recompute is identical
+    # math on [k] vectors and needs only this 7 MB stack)
+    pfxy = jnp.stack([pfx, pfy], axis=0)
+
+    # Steady frames carry ~2-4k uncovered pixels (fold conflicts +
+    # window misses); the steady tier merges them INSIDE the kernel
+    # (below), the full tier keeps headroom, and a 4x tier absorbs
+    # claim-degenerate frames (near-axis-aligned camera angles produce
+    # ~25k fold conflicts; measured on the orbit scene's frame 1) at
+    # ~3 ms instead of the ~15 ms whole-frame fallback.
+    tiers = (fixup_k // 2, fixup_k, 4 * fixup_k)
+    NT = nty * ntx
+
+    # ---- steady-tier transport: fix entries merged in-kernel ----
+    # Entries are compacted in TILE-major order, so each tile's entries
+    # are one contiguous run [a_t, b_t) of the transport array; the
+    # kernel DMAs a fixed [16, FSLAB] lane window at a_t aligned down
+    # to 128 and filters by the entry's tile id. Values are computed
+    # pre-kernel (they depend only on the plan + source, never on the
+    # kernel output) by the same _fix_values_at as the heavy tiers, so
+    # the merge is bit-identical to a post-hoc scatter — without the
+    # scatter's serialized updates and 59 MB relayout copies.
+    k0 = tiers[0]
+    kpad = -(-k0 // 128) * 128 + FSLAB
+    with jax.named_scope("warp_fixup_compact"):
+        idx_tm, total_tm = compact_indices(
+            plan.uncovered_t.reshape(-1), k0)
+        cnt_t = jnp.sum(plan.uncovered_t.astype(i32), axis=(1, 2))
+        a_t = jnp.cumsum(cnt_t) - cnt_t                      # [NT]
+        fo128 = jnp.clip(a_t & ~i32(127), 0, kpad - FSLAB)
+        max_cnt = jnp.max(cnt_t)
+    with jax.named_scope("warp_fixup"):
+        tile_e = idx_tm // (TH * TC)
+        within = idx_tm - tile_e * (TH * TC)
+        rr = within // TC
+        ty_e = tile_e // ntx
+        yk0 = ty_e * TH + rr
+        xk0 = (tile_e - ty_e * ntx) * TC + (within - rr * TC)
+        fix0 = _fix_values_at(cfg, plan, cur6, pfxy,
+                              jnp.minimum(yk0, H - 1),
+                              jnp.minimum(xk0, W - 1), H, W)
+        # overflow ranks pad with the last in-bounds pixel; tile id -1
+        # marks them invalid so the kernel never merges padding (the
+        # [k0, kpad) slab slack is padded -1 too — a zero pad would
+        # read as tile id 0). Rows 13/14/15 = entry row, column, tile
+        # id as plain f32 NUMBERS — int32-bitcast transport flushed to
+        # zero in the XLA producer fusion on TPU (denormal patterns;
+        # probe_fixhbm.py), float encoding of ints < 2^24 is exact and
+        # flush-proof.
+        q = jnp.arange(1, k0 + 1, dtype=i32)
+        tile_id = jnp.pad(jnp.where(q <= total_tm, tile_e, -1),
+                          (0, kpad - k0), constant_values=-1)
+        f32 = jnp.float32
+        fix_hbm = jnp.concatenate([
+            jnp.pad(jnp.concatenate(
+                [fix0, rr.astype(f32)[None],
+                 (within - rr * TC).astype(f32)[None]], axis=0),
+                ((0, 0), (0, kpad - k0))),
+            tile_id.astype(f32)[None]], axis=0)              # [16, kpad]
+        fixoff = jnp.concatenate([fo128, cnt_t]).astype(i32)
+
     kernel = functools.partial(_blend_kernel3, cfg, nty, ntx)
     scratch = [
         pltpu.VMEM((2, 8, WH3, TW), jnp.int32),
         pltpu.VMEM((2, TH, TW), jnp.int32),
         pltpu.VMEM((2, 4 * TH, TC), jnp.int32),
         pltpu.VMEM((2, 6, TH, TC), jnp.float32),
+        pltpu.VMEM((2, 16, FSLAB), jnp.float32),
         pltpu.VMEM((2, BLEND_PLANES, TH, TC), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
@@ -890,64 +1080,32 @@ def warp_blend_pallas(cfg, stacked, cur6, pfx, pfy, *, src8=None,
         out = pl.pallas_call(
             kernel,
             out_shape=out_shape,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 5
-            + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 6
+            + [pl.BlockSpec(memory_space=pl.ANY)] * 5,
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=scratch,
             compiler_params=params,
             interpret=interpret,
         )(plan.bounds, plan.order, plan.wo, plan.raxo, plan.resid,
-          plan.src_pad, plan.sel_u, plan.sel_rest, cur_pad)
+          fixoff, plan.src_pad, plan.sel_u, plan.sel_rest, cur_pad,
+          fix_hbm)
         blended = out[:, :H, :W]
 
-    # the reprojected-coordinate pair, gathered at the fix-up points
-    # and used to RECOMPUTE iy/ix/fx/fy/bits there (round-4 xplane
-    # attribution: gathering the 5 precomputed aux planes cost 0.61
-    # ms/frame, almost all of it the per-plane reshape(1,-1) relayouts
-    # feeding the aux concat — the point-local recompute is identical
-    # math on [k] vectors and needs only this 7 MB stack)
-    pfxy = jnp.stack([pfx, pfy], axis=0)
-
     def make_fixup(k):
-        # Compact fix-up at capacity ``k``: 2-D point gathers of the
-        # reprojection pair + cur6 (gather cost is per op, riders ~free
-        # — docs/PERF_NOTES.md), aux recomputed at the points, one
-        # gather over the 4 concatenated tap index sets, exact
-        # bf16-identical blend, sorted 2-D scatter straight into the
-        # [13, H, W] kernel output (no 48 MB flatten round-trip).
+        # Heavy-tier compact fix-up at capacity ``k``: per-point value
+        # recompute (:func:`_fix_values_at`) + sorted 2-D scatter into
+        # the [13, H, W] kernel output. Only overflow frames (~1 in 60)
+        # take this path — steady frames merge in-kernel (see
+        # warp_blend_pallas), which killed the scatter's 0.58 ms/frame
+        # relayout chain (round-5 xplane: pad 13->16 + two 59 MB layout
+        # copies + the serialized 4096-index scatter).
         def fixup(_):
-            from .gather import floor_int
             with jax.named_scope("warp_fixup_compact"):
                 idx, _ = compact_indices(plan.uncovered.ravel(), k)
             with jax.named_scope("warp_fixup"):
                 yk = idx // W
                 xk = idx - yk * W
-                pfk = pfxy[:, yk, xk]                 # [2, k]
-                ixk = floor_int(pfk[0])
-                iyk = floor_int(pfk[1])
-                fxk = pfk[0] - ixk.astype(jnp.float32)
-                fyk = pfk[1] - iyk.astype(jnp.float32)
-                bitsk = _mask_bits(iyk, ixk, H, W)
-                cur6k = cur6[:, yk, xk]               # [6, k]
-                # taps come from the padded source (so the unpadded
-                # pack has no consumers and its pad fuses away); 2-D
-                # point indexing — the flat `reshape(8, Hp*Wp)[:, flat]`
-                # form forced a 47 MB plane-interleaving relayout copy
-                # of the source every frame (round-5 xplane: 0.065
-                # ms/frame), the 2-D gather reads the T(8,128) source
-                # layout in place
-                iy0 = jnp.clip(iyk, 0, H - 1) + P_T3
-                iy1 = jnp.clip(iyk + 1, 0, H - 1) + P_T3
-                ix0 = jnp.clip(ixk, 0, W - 1) + P_L
-                ix1 = jnp.clip(ixk + 1, 0, W - 1) + P_L
-                yy = jnp.concatenate([iy0, iy0, iy1, iy1])
-                xx = jnp.concatenate([ix0, ix1, ix0, ix1])
-                words = plan.src_pad[:, yy, xx]
-                tv = [_unpack_ch_pairs(words[:, i * k:(i + 1) * k])
-                      for i in range(4)]
-                fix = blend_from_taps(
-                    cfg, tv[0], tv[1], tv[2], tv[3], cur6k,
-                    bitsk, fxk, fyk)
+                fix = _fix_values_at(cfg, plan, cur6, pfxy, yk, xk, H, W)
             with jax.named_scope("warp_fixup_scatter"):
                 # idx is sorted, so (yk, xk) is lexicographically
                 # sorted; overflow ranks pad with pixel n-1 — duplicate
@@ -968,44 +1126,39 @@ def warp_blend_pallas(cfg, stacked, cur6, pfx, pfy, *, src8=None,
             return blend_from_taps(cfg, taps[0], taps[1], taps[2],
                                    taps[3], cur6, bits, fx, fy)
 
-    # Steady frames carry ~2-4k uncovered pixels (fold conflicts +
-    # window misses); search/gather/scatter all scale with capacity, so
-    # a half-size tier serves them, the full tier keeps headroom, and a
-    # 4x tier absorbs claim-degenerate frames (near-axis-aligned camera
-    # angles produce ~25k fold conflicts; measured on the orbit scene's
-    # frame 1) at ~3 ms instead of the ~15 ms whole-frame fallback.
-    tiers = (fixup_k // 2, fixup_k, 4 * fixup_k)
+    # The steady tier IS the kernel output: its fix entries merged
+    # in-kernel (bit-identical to the post-hoc scatter it replaced).
+    # It overflows when the frame exceeds the transport capacity k0 or
+    # any single tile's entry run exceeds the aligned slab window —
+    # then the heavy tiers rescatter on top (their values repeat the
+    # merged subset identically, so layering is order-independent).
+    steady_overflow = ((plan.n_uncovered > tiers[0])
+                       | (max_cnt > FSLAB - 128))
     in_kernel = plan.n_uncovered <= tiers[-1]
-    tier = sum(((plan.n_uncovered > k).astype(i32) for k in tiers),
-               jnp.zeros((), i32))
+    tier = (steady_overflow.astype(i32)
+            + (plan.n_uncovered > tiers[1]).astype(i32)
+            + (plan.n_uncovered > tiers[2]).astype(i32))
     impl = getattr(cfg, "warp_tier_impl", "switch")
     if impl == "switch":
         # round-3 structure: one flat lax.switch (not nested conds —
         # every cond level copies its 48 MB plane operands)
         planes = jax.lax.switch(
-            tier, [make_fixup(k) for k in tiers] + [full_fallback], None)
-    else:
-        # the steady tier runs UNCONDITIONALLY: compact_indices pads
-        # with index n-1, and every fix-up blend reproduces the kernel's
-        # value bit-for-bit (same bf16 taps), so overwriting covered
-        # pixels is the identity — only the rare overflow tiers
-        # (~1 frame in 60) need a branch at all
-        steady = make_fixup(tiers[0])(None)
-        if impl == "steady_only":
-            # measurement-only: no overflow handling (a teleport frame
-            # keeps stale taps) — bounds the dispatch structure's cost
-            planes = steady
-        else:  # steady_cond
-            def heavy(_):
-                t2 = ((plan.n_uncovered > tiers[1]).astype(i32)
-                      + (plan.n_uncovered > tiers[2]).astype(i32))
-                return jax.lax.switch(
-                    t2, [make_fixup(tiers[1]), make_fixup(tiers[2]),
-                         full_fallback], None)
+            tier, [lambda _: blended, make_fixup(tiers[1]),
+                   make_fixup(tiers[2]), full_fallback], None)
+    elif impl == "steady_only":
+        # measurement-only: no overflow handling (a teleport frame
+        # keeps stale taps) — bounds the dispatch structure's cost
+        planes = blended
+    else:  # steady_cond
+        def heavy(_):
+            t2 = ((plan.n_uncovered > tiers[1]).astype(i32)
+                  + (plan.n_uncovered > tiers[2]).astype(i32))
+            return jax.lax.switch(
+                t2, [make_fixup(tiers[1]), make_fixup(tiers[2]),
+                     full_fallback], None)
 
-            planes = jax.lax.cond(
-                plan.n_uncovered > tiers[0], heavy,
-                lambda _: steady, None)
+        planes = jax.lax.cond(
+            steady_overflow, heavy, lambda _: blended, None)
     served = jnp.where(in_kernel, i32(H * W) - plan.n_uncovered, i32(0))
     stats = jnp.concatenate([
         plan.n_uncovered[None], (~in_kernel).astype(i32)[None],
