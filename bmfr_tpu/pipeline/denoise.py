@@ -255,13 +255,27 @@ def denoise_frame(cfg, state, inputs: FrameInputs,
             # in-place interior update of the (donated) carry buffer:
             # the border zeros are frame-invariant, so only the 29.5 MB
             # interior is written — no pad pass, no 41 MB zero fill
-            # (measured: a fresh jnp.pad here costs 0.06 ms/frame)
-            pack = pack_pairs_bf16(jnp.concatenate(
-                [inputs.positions, inputs.normals, k1["accum"],
-                 k1["spp"].astype(jnp.float32)[None], out, result],
+            # (measured: a fresh jnp.pad here costs 0.06 ms/frame).
+            # Packed per PRODUCER GROUP with one word-range DUS each —
+            # a single 16-plane concat forced XLA to materialize a
+            # 29.5 MB bf16[16, H, W] stack assembled by three DUS
+            # fusions and ping-ponged through two more copies (round-5
+            # scan trace: ~0.16 ms/frame unattributed); per-group packs
+            # fuse into their producers and write the carry directly.
+            # Channel pairing is unchanged (groups split at even
+            # channel indices 0/6/10), so the words are bit-identical.
+            w_geo = pack_pairs_bf16(jnp.concatenate(
+                [inputs.positions, inputs.normals], axis=0))
+            w_acc = pack_pairs_bf16(jnp.concatenate(
+                [k1["accum"], k1["spp"].astype(jnp.float32)[None]],
                 axis=0))
-            new_state = PackedState(src8=jax.lax.dynamic_update_slice(
-                state.src8, pack, (0, P_T3, P_L)))
+            w_out = pack_pairs_bf16(jnp.concatenate(
+                [out, result], axis=0))
+            s = jax.lax.dynamic_update_slice(
+                state.src8, w_geo, (0, P_T3, P_L))
+            s = jax.lax.dynamic_update_slice(s, w_acc, (3, P_T3, P_L))
+            s = jax.lax.dynamic_update_slice(s, w_out, (5, P_T3, P_L))
+            new_state = PackedState(src8=s)
     else:
         new_state = TemporalState(
             normals=inputs.normals,
