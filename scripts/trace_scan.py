@@ -32,11 +32,13 @@ def main():
     fitter = os.environ.get("FITTER", "pallas_direct")
     solver = os.environ.get("SOLVER", "cholesky")
     tier = os.environ.get("TIER", "steady_cond")
+    residual = os.environ.get("RESIDUAL", "bfloat16")
     cfg = BMFRConfig(image_width=W, image_height=H,
                      position_limit_squared=0.03,
                      normal_limit_squared=0.5,
                      warp_mode=mode, fitter_impl=fitter,
-                     solver=solver, warp_tier_impl=tier).validate()
+                     solver=solver, warp_tier_impl=tier,
+                     residual_dtype=residual).validate()
     sc = synthetic_sequence(width=W, height=H, frames=FRAMES)
     to_tchw = lambda a: jnp.asarray(np.moveaxis(a, -1, 1).astype(np.float32))
     inputs = FrameInputs(
